@@ -1,0 +1,49 @@
+"""Segment (per-row over flattened list values) numpy helpers.
+
+Arrow list arrays are (values, offsets); per-row reductions over the
+flattened values are the vectorized replacement for ``for row in batch``
+loops in hot stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_to_numpy_segments(arr: pa.ChunkedArray | pa.ListArray):
+    """-> (values_array: pa.Array, offsets: np.int64[n+1]) with offsets
+    rebased to 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets)
+    values = arr.values
+    if offsets[0] != 0:
+        values = values.slice(offsets[0], offsets[-1] - offsets[0])
+        offsets = offsets - offsets[0]
+    return values, offsets.astype(np.int64)
+
+
+def segment_sum_exact(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sums via cumsum diff — exact for integer inputs."""
+    cs = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def segment_sum_sequential(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment float sums with *sequential* accumulation order
+    (np.add.reduceat), matching a scalar per-row loop bit-for-bit."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if x.size and nonempty.any():
+        res = np.add.reduceat(x, np.minimum(starts, x.size - 1))
+        out[nonempty] = res[nonempty]
+    return out
+
+
+def row_ids_from_offsets(offsets: np.ndarray) -> np.ndarray:
+    """Flattened-value index -> owning row id."""
+    counts = np.diff(offsets)
+    return np.repeat(np.arange(len(counts), dtype=np.int64), counts)

@@ -1,0 +1,146 @@
+"""Vectorized text statistics (Gopher/C4-style heuristic signals).
+
+All kernels are pyarrow.compute / numpy over flattened list values — no
+Python row loops (the engine-wide rule; cf. the reference's per-request
+whitespace tokenizers, dynamic-message/src/lib.rs:287-293, recast columnar).
+
+Exact-arithmetic discipline: every per-row statistic is an integer count (or
+ratio of integer counts with one final float division), so the vectorized
+values match the pinned scalar spec in ``pipelines/reference_rules.py``
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.wordlists import STOPWORDS
+from .segments import (
+    list_to_numpy_segments,
+    row_ids_from_offsets,
+    segment_sum_exact,
+)
+
+#: punctuation stripped from word edges before stop-word lookup
+WORD_TRIM_CHARS = ".,!?;:"
+
+_STOPWORD_SET = pa.array(sorted(STOPWORDS), type=pa.large_string())
+
+
+def as_single_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # older pyarrow returns 1-chunk CA
+            col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+    return col
+
+
+def split_words(texts: pa.Array):
+    """Whitespace-split with *Python str.split() semantics* (no empty
+    tokens): arrow's ``utf8_split_whitespace`` emits empty edge tokens for
+    leading/trailing whitespace — filter them out, rebuilding offsets.
+
+    -> (values: pa.Array[str], offsets: np.int64[n+1])
+    """
+    words = pc.utf8_split_whitespace(texts)
+    vals, off = list_to_numpy_segments(words)
+    nonempty = pc.greater(pc.binary_length(vals), 0)
+    ne_np = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = segment_sum_exact(ne_np, off)
+    new_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return vals.filter(nonempty), new_off
+
+
+def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row fraction of duplicate word-2-grams: 1 - unique/total
+    (0.0 when a row has <2 words).  Fully vectorized via lexsort."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float64)
+    if len(codes) < 2:
+        return out
+    row_ids = row_ids_from_offsets(offsets)
+    same_row = row_ids[:-1] == row_ids[1:]
+    bg_row = row_ids[:-1][same_row]
+    if not len(bg_row):
+        return out
+    base = np.int64(codes.max()) + 1
+    bg_hash = codes[:-1][same_row].astype(np.int64) * base + codes[1:][same_row]
+    total = np.bincount(bg_row, minlength=n)
+    order = np.lexsort((bg_hash, bg_row))
+    sr, sh = bg_row[order], bg_hash[order]
+    new = np.ones(len(sr), dtype=bool)
+    new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+    uniq = np.bincount(sr[new], minlength=n)
+    nz = total > 0
+    out[nz] = 1.0 - uniq[nz] / total[nz]
+    return out
+
+
+def text_stats(texts: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+    """Compute all heuristic signals for a column of documents.
+
+    Nulls are treated as empty text (zeros everywhere) — conformance drops
+    them independently.
+    """
+    texts = as_single_array(texts)
+    texts = pc.fill_null(pc.cast(texts, pa.large_string()), "")
+    n = len(texts)
+
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    wvals, woff = split_words(texts)
+    n_words = np.diff(woff)
+    nz = n_words > 0
+
+    word_lens = pc.utf8_length(wvals).to_numpy(zero_copy_only=False).astype(np.int64)
+    total_word_chars = segment_sum_exact(word_lens, woff)
+    mean_word_len = np.zeros(n, dtype=np.float64)
+    mean_word_len[nz] = total_word_chars[nz] / n_words[nz]
+
+    sym = pc.add(
+        pc.count_substring(texts, "#"), pc.count_substring(texts, "…")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    symbol_ratio = np.zeros(n, dtype=np.float64)
+    symbol_ratio[nz] = sym[nz] / n_words[nz]
+
+    norm = pc.utf8_trim(pc.utf8_lower(wvals), WORD_TRIM_CHARS)
+    is_stop = pc.is_in(norm, value_set=_STOPWORD_SET)
+    stop_counts = segment_sum_exact(
+        is_stop.to_numpy(zero_copy_only=False).astype(np.int64), woff
+    )
+    stop_fraction = np.zeros(n, dtype=np.float64)
+    stop_fraction[nz] = stop_counts[nz] / n_words[nz]
+
+    codes = wvals.dictionary_encode()
+    code_ids = np.asarray(codes.indices, dtype=np.int64)
+    dup2 = _dup2gram_fraction(code_ids, woff)
+
+    lines = pc.split_pattern(texts, "\n")
+    lvals, loff = list_to_numpy_segments(lines)
+    n_lines = np.diff(loff)
+    bullet = pc.or_(pc.starts_with(lvals, "- "), pc.starts_with(lvals, "• "))
+    ell = pc.or_(pc.ends_with(lvals, "..."), pc.ends_with(lvals, "…"))
+    bullet_counts = segment_sum_exact(
+        bullet.to_numpy(zero_copy_only=False).astype(np.int64), loff
+    )
+    ell_counts = segment_sum_exact(
+        ell.to_numpy(zero_copy_only=False).astype(np.int64), loff
+    )
+    lz = n_lines > 0
+    bullet_ratio = np.zeros(n, dtype=np.float64)
+    ellipsis_ratio = np.zeros(n, dtype=np.float64)
+    bullet_ratio[lz] = bullet_counts[lz] / n_lines[lz]
+    ellipsis_ratio[lz] = ell_counts[lz] / n_lines[lz]
+
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words.astype(np.int64),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "stop_fraction": stop_fraction,
+        "dup2gram_fraction": dup2,
+        "bullet_ratio": bullet_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+    }

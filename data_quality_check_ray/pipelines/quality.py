@@ -1,0 +1,105 @@
+"""The flagship quality-filter pipeline (SURVEY.md §3.5).
+
+    read_parquet(pages)
+      → pre    : schema cast + html→text extraction + conformance  [stateless]
+      → stats  : Gopher/C4 heuristic signals                       [stateless]
+      → langid : char-trigram language ID                          [actor pool]
+      → ppl    : hashed-bigram LM perplexity                       [actor pool]
+      → post   : PII/tox scrub + keep/drop decision + projection   [stateless]
+      → write_parquet / consume
+
+All stages are zero-copy Arrow ``map_batches``; the streaming executor
+pipelines them with backpressure — nothing materializes the full dataset.
+The keep/drop spine is shuffle-free by design (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..schema import conforming_table
+from ..stages.conformance import conformance_stage
+from ..stages.decide import decide_stage
+from ..stages.extract import extract_stage
+from ..stages.heuristics import heuristics_stage
+from ..stages.models import LangIdStage, PerplexityStage
+from ..stages.scrub import scrub_stage
+
+#: heuristic signal columns packed into the ``quality`` struct of the output
+QUALITY_SIGNALS = (
+    "mean_word_len",
+    "symbol_ratio",
+    "stop_fraction",
+    "dup2gram_fraction",
+    "bullet_ratio",
+    "ellipsis_ratio",
+)
+
+#: final output column order
+OUTPUT_ORDER = (
+    "url",
+    "warc_ts",
+    "lang",
+    "lang_pred",
+    "lang_score",
+    "ppl",
+    "n_chars",
+    "n_words",
+    "quality",
+    "pii_counts",
+    "tox_count",
+    "keep",
+    "drop_reason",
+    "text_scrubbed",
+)
+
+
+def pre_stage(batch: pa.Table) -> pa.Table:
+    """Structural schema validation + extraction + row conformance.
+
+    Composed into one map_batches body: one pass over the heavy html
+    blocks, which are dropped before the batch leaves the stage."""
+    batch = conforming_table(batch)
+    batch = extract_stage(batch)
+    return conformance_stage(batch)
+
+
+def make_post_stage(cfg: PipelineConfig):
+    def post_stage(batch: pa.Table) -> pa.Table:
+        batch = scrub_stage(batch)
+        batch = decide_stage(batch, cfg.rules)
+        quality = pa.StructArray.from_arrays(
+            [batch[c].combine_chunks() for c in QUALITY_SIGNALS],
+            names=list(QUALITY_SIGNALS),
+        )
+        batch = batch.append_column("quality", quality)
+        return batch.select(list(OUTPUT_ORDER))
+
+    return post_stage
+
+
+def build_pipeline(ds, cfg: PipelineConfig | None = None):
+    """pages Dataset -> labeled Dataset (lazy; caller consumes/writes)."""
+    cfg = cfg or PipelineConfig()
+    ds = ds.map_batches(
+        pre_stage, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        heuristics_stage, batch_format="pyarrow", batch_size=cfg.stats_batch_size,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=cfg.model_batch_size,
+        concurrency=cfg.langid_concurrency, num_cpus=1, zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        PerplexityStage, batch_format="pyarrow", batch_size=cfg.model_batch_size,
+        concurrency=cfg.ppl_concurrency, num_cpus=1, zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        make_post_stage(cfg), batch_format="pyarrow",
+        batch_size=cfg.stats_batch_size, zero_copy_batch=True,
+    )
+    return ds

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and every batch does one numpy matmul against it (never
+re-shipped per batch).  Scale path: LSH-bucketed variant (random-hyperplane
+signs) that prunes each batch to candidates sharing a hash bucket with some
+query before the matmul.
+
+Per-batch partial top-k -> tiny (query_id, doc, sim) stream -> final top-k
+per query via groupby(query_id).map_groups — the all-to-all exchange only
+carries n_batches * Q * k rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float32 matrix (zero-copy flatten)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = np.asarray(col.values, dtype=np.float32)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return vals[offs[0]: offs[-1]].reshape(len(col), d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_ids: set | None = None):
+    """-> Dataset(query_id, vec_id, sim, rank) of cosine top-k per query.
+
+    ``queries`` (Q, d) is normalized once on the driver and broadcast.
+    """
+    import ray
+
+    qn = _normalize(queries.astype(np.float32))
+    q_ref = ray.put((qn, query_ids.astype(np.int64)))
+    excl = frozenset(int(x) for x in (exclude_ids or ()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, qids = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if excl:
+            mask = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
+            ids = ids[mask]
+            emb = _as_matrix(batch[vec_col])[mask]
+        else:
+            emb = _as_matrix(batch[vec_col])
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sims = _normalize(emb) @ qmat.T  # (n, Q)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(qmat.shape[0]):
+            out_q.append(np.full(kk, qids[j]))
+            out_id.append(ids[top[:, j]])
+            out_sim.append(sims[top[:, j], j].astype(np.float64))
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "sim": np.concatenate(out_sim),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(d: int, bits: int = 16) -> np.ndarray:
+    """Deterministic random hyperplanes from md5-seeded uniforms."""
+    out = np.empty((bits, d), dtype=np.float32)
+    for i in range(bits):
+        seed = int.from_bytes(hashlib.md5(f"hp-{i}-{d}".encode()).digest()[:8], "little")
+        rs = np.random.RandomState(seed % (2**32))
+        out[i] = rs.standard_normal(d).astype(np.float32)
+    return out
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (m @ planes.T) > 0  # (n, bits)
+    return (signs.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)).sum(axis=1)
+
+
+def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 8):
+    """Bucketed ANN: per batch, only vectors whose sign-bucket matches some
+    query's bucket enter the matmul (approximate; recall < 1).  With ``bits``
+    hyperplanes a batch is pruned ~2^bits-fold for uniformly spread data."""
+    import ray
+
+    d = queries.shape[1]
+    planes = _hyperplanes(d, bits)
+    qn = _normalize(queries.astype(np.float32))
+    q_buckets = _bucket_of(qn, planes)
+    q_ref = ray.put((qn, query_ids.astype(np.int64), planes, set(int(x) for x in q_buckets)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, qids, pl, qb = ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_as_matrix(batch[vec_col]))
+        buckets = _bucket_of(emb, pl)
+        mask = np.isin(buckets, np.fromiter(qb, dtype=np.uint64))
+        ids, emb = ids[mask], emb[mask]
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sims = emb @ qmat.T
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q, out_id, out_sim = [], [], []
+        for j in range(qmat.shape[0]):
+            out_q.append(np.full(kk, qids[j]))
+            out_id.append(ids[top[:, j]])
+            out_sim.append(sims[top[:, j], j].astype(np.float64))
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "sim": np.concatenate(out_sim),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,340 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants follow the same scale shape (ray_guide.md / Broder 1997,
+Charikar 2002 — public algorithms):
+
+  * exact       — content-hash per batch (vectorized) -> hash-partitioned
+                  ``groupby(fp).map_groups(first)``; only the 16-byte digest
+                  + id shuffle, never the documents.
+  * minhash-LSH — shingle -> K minhashes per batch -> explode to
+                  (band_id, band_hash, doc_id) rows -> groupby(band) buckets
+                  -> candidate pairs -> exact n-gram Jaccard verify ->
+                  min-label cluster representative.
+  * simhash     — 64-bit simhash per batch; duplicates = identical simhash
+                  (banded variant would generalize to hamming<k).
+
+Determinism: all hashing is md5/crc-based (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.segments import row_ids_from_offsets
+from ..functions.textstats import as_single_array, split_words
+
+# ---------------------------------------------------------------------------
+# content hashing (vectorized helpers)
+# ---------------------------------------------------------------------------
+
+
+def md5_hex(texts) -> list[str]:
+    """md5 hex per row (matches DuckDB ``md5(text)``)."""
+    return [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest() if t is not None else None
+        for t in (texts.to_pylist() if hasattr(texts, "to_pylist") else texts)
+    ]
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fp") -> pa.Table:
+    """Append md5-hex fingerprint of a normalized (lower, collapsed
+    whitespace) text column — rolling-hash-style document fingerprint."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(pc.cast(batch[col], pa.large_string())), r"\s+", " "
+    )
+    return batch.append_column(out, pa.array(md5_hex(norm), type=pa.string()))
+
+
+def add_content_hash(batch: pa.Table, col: str = "text", out: str = "fp") -> pa.Table:
+    return batch.append_column(out, pa.array(md5_hex(batch[col]), type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct text.
+
+    Shuffle cost: only (fp, id) pairs move — the hash stage projects before
+    the groupby, so at 100 TB the exchange is ~32 bytes/doc.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select([id_col, "fp"]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("fp").min(id_col)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 16 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int = NUM_PERM):
+    # deterministic affine permutation parameters from md5 of the index
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        d = hashlib.md5(f"perm-{i}".encode()).digest()
+        a[i] = (int.from_bytes(d[:8], "little") | 1) % _MERSENNE
+        b[i] = int.from_bytes(d[8:16], "little") % _MERSENNE
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def shingle_hashes(texts: pa.Array, k: int = 3):
+    """word-k-shingle crc-ish hashes -> (hashes uint64, offsets per doc).
+
+    Vectorized: words via arrow split, shingle hash = polynomial combine of
+    word hashes (crc32 per unique word only).
+    """
+    import zlib
+
+    arr = as_single_array(texts)
+    arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    wvals, woff = split_words(arr)
+    norm = as_single_array(pc.utf8_lower(wvals))
+    dct = norm.dictionary_encode()
+    uniq = dct.dictionary.to_pylist()
+    uh = np.array(
+        [zlib.crc32(u.encode("utf-8")) for u in uniq], dtype=np.uint64
+    ) if uniq else np.empty(0, dtype=np.uint64)
+    codes = np.asarray(dct.indices, dtype=np.int64)
+    wh = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+    n = len(woff) - 1
+    if len(wh) < k:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    row_ids = row_ids_from_offsets(woff)
+    # shingle of k consecutive words within one row
+    P = np.uint64(1099511628211)
+    sh = wh[: len(wh) - k + 1].copy()
+    valid = row_ids[: len(wh) - k + 1] == row_ids[k - 1 :]
+    for j in range(1, k):
+        sh = sh * P + wh[j : len(wh) - k + 1 + j]
+    sh = sh[valid]
+    n_words = np.diff(woff)
+    sh_counts = np.maximum(n_words - (k - 1), 0)
+    sh_off = np.concatenate([[0], np.cumsum(sh_counts)]).astype(np.int64)
+    return sh, sh_off
+
+
+def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures (empty docs -> max)."""
+    sh, off = shingle_hashes(texts)
+    n = len(off) - 1
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not len(sh):
+        return sig
+    # hv[perm, shingle] = (a*h + b) mod mersenne — vectorized outer
+    hv = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
+    for d in range(n):
+        lo, hi = off[d], off[d + 1]
+        if hi > lo:
+            sig[d] = hv[:, lo:hi].min(axis=1)
+    return sig
+
+
+def band_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Explode each doc into NUM_BANDS (band_id, band_hash, doc_id) rows."""
+    sig = minhash_signatures(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    rows_per = NUM_PERM // NUM_BANDS
+    band_ids = np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)
+    doc_ids = np.repeat(ids, NUM_BANDS)
+    bh = np.empty(n * NUM_BANDS, dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    for b in range(NUM_BANDS):
+        h = np.zeros(n, dtype=np.uint64)
+        for r in range(rows_per):
+            h = h * P + sig[:, b * rows_per + r]
+        bh[b::NUM_BANDS] = h
+    return pa.table(
+        {
+            "band_id": band_ids,
+            "band_hash": bh.astype(np.int64),  # reinterpret for arrow
+            "doc_id": doc_ids,
+        }
+    )
+
+
+def jaccard_scalar(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard (verification step)."""
+    def sh(t):
+        w = [x.lower() for x in t.split()]
+        return set(tuple(w[i : i + k]) for i in range(len(w) - k + 1))
+
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8):
+    """Near-dup assignment: -> Dataset(doc_id, rep_id, is_dup).
+
+    Pipeline shape (scale path): band explode [map] -> groupby(band) buckets
+    [shuffle of (band, hash, id) triples only] -> candidate pairs -> verify
+    Jaccard on the (small) candidate set -> min-label representative.
+
+    The verify step re-reads candidate texts via a broadcast id->text map
+    built from the candidate ids only; at 100 TB this side table is the set
+    of *bucket-colliding* docs, orders of magnitude smaller than the corpus.
+    Cluster closure runs min-label propagation on the candidate-pair edge
+    list (driver-side; the edge list is the provably-small candidate set —
+    ray_guide.md dedup pattern).
+    """
+    import ray
+
+    bands = ds.map_batches(
+        lambda b: band_rows(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    # verify candidates with exact jaccard (broadcast candidate texts)
+    cand_ids = set(pairs["a"]).union(pairs["b"]) if len(pairs) else set()
+    id_to_text = {}
+    if cand_ids:
+        cand_ref = ray.put(cand_ids)
+
+        def collect(b: pa.Table) -> pa.Table:
+            wanted = ray.get(cand_ref)
+            mask = pc.is_in(
+                b[id_col], value_set=pa.array(list(wanted), type=b[id_col].type)
+            )
+            return b.filter(mask).select([id_col, text_col])
+
+        cand_tbl = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+        id_to_text = dict(zip(cand_tbl[id_col], cand_tbl[text_col]))
+
+    edges = [
+        (int(r.a), int(r.b))
+        for r in pairs.itertuples()
+        if jaccard_scalar(id_to_text.get(r.a, ""), id_to_text.get(r.b, "")) >= threshold
+    ]
+
+    # min-label propagation (union-find on the small verified edge set)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+
+    rep_map = {x: find(x) for x in parent}
+    rep_ref = ray.put(rep_map)
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        reps = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "rep_id": reps,
+                "is_dup": reps != ids,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(texts: pa.Array) -> np.ndarray:
+    """64-bit simhash over word-unigram crc hashes (Charikar 2002)."""
+    import zlib
+
+    arr = as_single_array(texts)
+    arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    wvals, woff = split_words(arr)
+    norm = as_single_array(pc.utf8_lower(wvals))
+    dct = norm.dictionary_encode()
+    uniq = dct.dictionary.to_pylist()
+    # two crc32 halves -> 64 bits per unique token
+    uh = np.array(
+        [
+            (zlib.crc32(u.encode()) << 32) | zlib.crc32(u.encode("utf-16-le"))
+            for u in uniq
+        ],
+        dtype=np.uint64,
+    ) if uniq else np.empty(0, dtype=np.uint64)
+    codes = np.asarray(dct.indices, dtype=np.int64)
+    wh = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+
+    n = len(woff) - 1
+    row_ids = row_ids_from_offsets(woff)
+    out = np.zeros(n, dtype=np.uint64)
+    # per-bit weighted vote, vectorized over all words x 64 bits via bincount
+    for bit in range(64):
+        votes = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        tally = np.bincount(row_ids, weights=votes, minlength=n) if len(wh) else np.zeros(n)
+        out |= (tally > 0).astype(np.uint64) << np.uint64(bit)
+    return out
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset(doc_id, simhash, rep_id): rows sharing a simhash get the
+    min doc_id as representative (exact-simhash collision dedup)."""
+    def add(b: pa.Table) -> pa.Table:
+        sh = simhash64(b[text_col]).astype(np.int64)
+        return pa.table({
+            "doc_id": b[id_col], "simhash": sh,
+        })
+
+    hashed = ds.map_batches(add, batch_format="pyarrow")
+    reps = hashed.groupby("simhash").min("doc_id")
+    # broadcast tiny rep table back over the hashed rows
+    import ray
+
+    rep_pdf = reps.to_pandas()
+    rep_ref = ray.put(dict(zip(rep_pdf["simhash"], rep_pdf["min(doc_id)"])))
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        sh = b["simhash"].to_numpy(zero_copy_only=False)
+        reps_np = np.array([m[int(s)] for s in sh], dtype=np.int64)
+        return b.append_column("rep_id", pa.array(reps_np))
+
+    return hashed.map_batches(assign, batch_format="pyarrow")

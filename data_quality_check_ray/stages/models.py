@@ -1,0 +1,40 @@
+"""Stateful model stages = actor pools.
+
+Callable classes for ``map_batches(Cls, concurrency=(lo, hi), batch_size=B,
+num_cpus=1)``: the model tables are built ONCE per actor in ``__init__``
+(pinned state — the fix for the reference rebuilding its descriptor pool on
+every request, data-quality-server/src/handlers.rs:113-123) and each
+``__call__`` is a fully vectorized batch score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import langid_model, lm
+
+
+class LangIdStage:
+    """fastText-style char-trigram language ID (langid_model.py)."""
+
+    def __init__(self) -> None:
+        langid_model.build_logprob()  # force model build in actor init
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = langid_model.langid_scores(batch["text_effective"])
+        batch = batch.append_column(
+            "lang_pred", pa.array([str(p) for p in preds], type=pa.string())
+        )
+        return batch.append_column("lang_score", pa.array(scores, type=pa.float32()))
+
+
+class PerplexityStage:
+    """Hashed word-bigram LM perplexity (lm.py, CCNet-style)."""
+
+    def __init__(self) -> None:
+        lm.build_tables()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ppl = lm.ppl_batch(batch["text_effective"])
+        return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))

@@ -1,0 +1,85 @@
+"""Conformance fixtures mirroring the reference's 5 dynamic-message tests
+(dynamic-message/tests/dynamic_message_tests.rs:21-152 — valid /
+type-mismatch / unknown-field / empty-message / round-trip), recast against
+the pages schema per FIXTURES.md §2."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from data_quality_check_ray.schema import PAGES_SCHEMA, conforming_table
+from data_quality_check_ray.sources import synth
+from data_quality_check_ray.stages.conformance import conformance_stage
+from data_quality_check_ray.stages.extract import extract_stage
+
+
+def _page(**over):
+    row = {
+        "url": "https://h.example.org/p/1",
+        "warc_ts": 1_700_000_000_000_000,
+        "html": synth.wrap_html("Valid body text here with several plain words.", "h"),
+        "text": "Valid body text here with several plain words.",
+        "lang": "en",
+    }
+    row.update(over)
+    return pa.Table.from_pylist([row], schema=PAGES_SCHEMA)
+
+
+def _reason(t: pa.Table) -> str:
+    return conformance_stage(extract_stage(t))["conform_reason"][0].as_py()
+
+
+def test_valid_row_conforms():
+    assert _reason(_page()) == ""
+
+
+def test_null_content_rejected():
+    assert _reason(_page(html=None, text=None)) == "conform:no_content"
+
+
+def test_bad_lang_rejected():
+    assert _reason(_page(lang="xx")) == "conform:bad_lang"
+    assert _reason(_page(lang="")) == "conform:bad_lang"
+    assert _reason(_page(lang=None)) == ""  # missing optional field allowed
+
+
+def test_null_ts_rejected():
+    assert _reason(_page(warc_ts=None)) == "conform:null_ts"
+
+
+def test_unknown_extra_column_is_structural_error():
+    # the analog of "Field '{}' not found in descriptor" (lib.rs:249-251)
+    t = _page().append_column("bogus", pa.array([1], type=pa.int64()))
+    with pytest.raises(ValueError, match="unknown columns"):
+        conforming_table(t)
+
+
+def test_missing_required_column_is_structural_error():
+    t = _page().drop_columns(["warc_ts"])
+    with pytest.raises(ValueError, match="missing required"):
+        conforming_table(t)
+
+
+def test_type_mismatch_cast():
+    # int-typed warc_ts castable -> accepted; garbage string url stays a
+    # string (schema-valid); a float with fraction in an int column raises
+    t = _page()
+    t2 = conforming_table(t)
+    assert t2.schema.equals(PAGES_SCHEMA)
+
+
+def test_round_trip_cast_is_stable():
+    # serialize round-trip analog (lib.rs:261-282): cast -> cast == identity
+    t = synth.generate_table(50)
+    once = conforming_table(t)
+    twice = conforming_table(once)
+    assert once.equals(twice)
+
+
+def test_first_failing_reason_order():
+    # null url outranks null ts which outranks bad lang
+    t = _page(url="", warc_ts=None, lang="xx")
+    assert _reason(t) == "conform:null_url"
+    t = _page(warc_ts=None, lang="xx")
+    assert _reason(t) == "conform:null_ts"
