@@ -1,0 +1,576 @@
+"""Named query registry: every operator as (Ray pipeline, oracle SQL) pairs.
+
+The engine analog of the reference's extension surface (upload a descriptor,
+new message types become validatable — handlers.rs:27-78): a dict of named
+pipelines over the standard test tables.  Each SQL-expressible entry carries
+a DuckDB oracle with IDENTICAL column names; model/sketch-based entries are
+rows-only.
+
+Scale notes are in each docstring — the point of every implementation is
+that it still streams at 10^12 rows (pre-aggregation before groupbys,
+broadcast small sides, digest-only shuffles).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _round_half_away(x: np.ndarray, k: int) -> np.ndarray:
+    """DuckDB ROUND() semantics (half away from zero) — numpy round is
+    half-even, which would diverge from the oracle on .5 boundaries."""
+    p = 10.0 ** k
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
+
+def _cents(x) -> pa.Array:
+    """Money column -> exact int64 cents (round half away, like DuckDB
+    ``CAST(round(x*100) AS BIGINT)``).  Integer sums are order-independent,
+    so aggregated money matches the oracle bitwise — float sums differ in
+    the last ulp between engines and can round to different cents."""
+    v = x.to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+    return pa.array(_round_half_away(v, 0).astype(np.int64))
+
+
+def _round_col(t: pa.Table, col: str, k: int) -> pa.Table:
+    x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    i = t.column_names.index(col)
+    return t.set_column(i, col, pa.array(_round_half_away(x, k)))
+
+
+# ---------------------------------------------------------------------------
+# documents-table queries (text operators)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    """Per-language document counts + total chars (partial aggregation is
+    done inside Ray's hash aggregate; only (lang, partials) shuffle)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        _agg_count("n_docs"), _agg_sum("n_chars", "total_chars")
+    )
+    return out
+
+
+def _agg_count(alias):
+    from ray.data.aggregate import Count
+
+    return Count(alias_name=alias)
+
+
+def _agg_sum(col, alias):
+    from ray.data.aggregate import Sum
+
+    return Sum(col, alias_name=alias)
+
+
+def _agg_min(col, alias):
+    from ray.data.aggregate import Min
+
+    return Min(col, alias_name=alias)
+
+
+def q_token_counts(sf_dir: str):
+    """Whitespace token count per document (reference P8 tokenizer analog,
+    dynamic-message/src/lib.rs:287-289, vectorized)."""
+    from ..functions.textstats import split_words
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from ..functions.textstats import as_single_array
+
+        texts = pc.fill_null(pc.cast(as_single_array(b["text"]), pa.large_string()), "")
+        _, off = split_words(texts)
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": np.diff(off)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_field_check_en(sf_dir: str):
+    """Field presence+equality predicate (json_validation.rs:165-194
+    analog): count of documents whose lang field equals 'en'."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    n = ds.map_batches(
+        lambda b: pa.table(
+            {"n": [pc.sum(pc.equal(b["lang"], "en")).as_py() or 0]}
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    return pa.table({"n_en": pa.array([n], type=pa.int64())})
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text (digest-only shuffle)."""
+    from ..stages.dedup import add_content_hash
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, "text", "fp").select(["doc_id", "fp"]),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("fp").aggregate(_agg_min("doc_id", "keep_id"))
+
+
+def q_fingerprint(sf_dir: str):
+    """Normalized md5 document fingerprint per doc."""
+    from ..stages.dedup import add_fingerprint
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_fingerprint(b, "text", "fp").select(["doc_id", "fp"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    """Per-doc heuristic quality signals (subset with exact SQL mirrors)."""
+    from ..functions.textstats import text_stats
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        s = text_stats(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": s["n_chars"],
+                "n_words": s["n_words"],
+                "mean_word_len": _round_half_away(s["mean_word_len"], 4),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pii_scrub_documents(sf_dir: str):
+    """Scrub pipeline over the documents corpus (regex-chain oracle)."""
+    from ..functions.pii import scrub_batch
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        scrubbed, counts, tox = scrub_batch(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_scrubbed": pc.cast(scrubbed, pa.string()),
+                "tox_count": tox,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# events-table queries (stream-shaped)
+# ---------------------------------------------------------------------------
+
+
+def q_events_daily(sf_dir: str):
+    """Tumbling-window (1 day) counts per event type — the groupby-window
+    recast of a streaming window (no watermarks needed on bounded data)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def day(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b["ts"], unit="day")
+        return pa.table(
+            {"day": d, "event_type": b["event_type"], "value_cents": _cents(b["value"])}
+        )
+
+    return (
+        ds.map_batches(day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(_agg_count("n_events"), _agg_sum("value_cents", "total_value_cents"))
+    )
+
+
+def q_top_users(sf_dir: str):
+    """Top-10 users by event count (sort + limit; deterministic tiebreak)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    agg = ds.groupby("user_id").aggregate(_agg_count("n_events"))
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+def q_event_type_distinct(sf_dir: str):
+    """Distinct event types (set op) with per-type first timestamp."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    return ds.groupby("event_type").aggregate(_agg_min("ts", "first_ts"))
+
+
+def q_props_valid(sf_dir: str):
+    """JSON well-formedness + field check over the props column — the
+    closest analog of the reference's core validate path
+    (json_validation.rs:36-40 parse + :165-194 field check): count rows
+    whose props parses as a JSON object containing integer field \"k\"."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ok = 0
+        k_pos = 0
+        for s in b["props"].to_pylist():
+            try:
+                v = json.loads(s) if s is not None else None
+            except (TypeError, ValueError):
+                v = None
+            if isinstance(v, dict) and isinstance(v.get("k"), int):
+                ok += 1
+                if v["k"] > 50:
+                    k_pos += 1
+        return pa.table({"ok": [ok], "k_gt_50": [k_pos]})
+
+    pdf = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_valid": pa.array([int(pdf["ok"].sum())], type=pa.int64()),
+            "n_k_gt_50": pa.array([int(pdf["k_gt_50"].sum())], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing(sf_dir: str):
+    """Pricing summary (TPC-H Q1 shape): filter -> derived column ->
+    grouped aggregate.  Pre-aggregation happens inside Ray's hash
+    aggregate; only per-key partials shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))))
+        disc = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "disc_cents": _cents(disc),
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            _agg_sum("l_quantity", "sum_qty"),
+            _agg_sum("disc_cents", "sum_disc_cents"),
+            _agg_count("count_order"),
+        )
+    )
+    return out.map_batches(
+        lambda b: _round_col(b, "sum_qty", 2), batch_format="pyarrow"
+    )
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer revenue per market segment.
+
+    The small side (customer key -> segment) is broadcast ONCE via ray.put
+    and looked up per batch — no shuffle join (ray_guide.md join pattern;
+    at 100 TB the dimension side stays a broadcast while facts stream)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    rd = _rd()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join(b: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = pa.array([m.get(int(k)) for k in keys], type=pa.string())
+        return pa.table({"mktsegment": segs, "price_cents": _cents(b["o_totalprice"])})
+
+    return (
+        ds.map_batches(join, batch_format="pyarrow")
+        .groupby("mktsegment")
+        .aggregate(_agg_count("n_orders"), _agg_sum("price_cents", "revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5: queries = vec_id < 5, corpus = vec_id >= 5.
+
+    float64 per-batch matmul against the broadcast query matrix; per-batch
+    partial top-k then a tiny final top-k per query."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_force_topk, _as_matrix
+
+    rd = _rd()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = pc.less(qt["vec_id"], 5)
+    qt = qt.filter(qmask)
+    queries = _as_matrix(qt["embedding"], np.float64)
+    qids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(
+        ds, queries, qids, k=5, exclude_ids=set(int(i) for i in qids),
+        dtype=np.float64,
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return _round_col(b, "sim", 6)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (model / sketch based; no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_pages_pipeline(sf_dir: str):
+    """Flagship quality pipeline over pages synthesized from documents."""
+    from ..sources.pages import pages_from_documents
+    from .quality import build_pipeline
+
+    return build_pipeline(pages_from_documents(sf_dir)).select_columns(
+        ["url", "lang_pred", "lang_score", "ppl", "n_chars", "n_words", "keep", "drop_reason", "text_scrubbed"]
+    )
+
+
+def q_langid_documents(sf_dir: str):
+    """Language-ID predictions over the documents corpus."""
+    from ..functions.langid_model import langid_scores
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def f(b: pa.Table) -> pa.Table:
+        preds, scores = langid_scores(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang_claimed": b["lang"],
+                "lang_pred": pa.array([str(p) for p in preds], type=pa.string()),
+                "lang_score": pa.array(scores, type=pa.float32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup clustering over documents."""
+    from ..stages.dedup import minhash_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash exact-collision dedup over documents."""
+    from ..stages.dedup import simhash_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def q_host_topk(sf_dir: str):
+    """Top-5 hosts by page count over synthesized pages (salted two-phase
+    groupby: partial counts per (host, salt) then final merge per host —
+    the giant-host skew pattern, SURVEY.md §4.2)."""
+    from ..sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    def hostify(b: pa.Table) -> pa.Table:
+        host = pc.extract_regex(b["url"], r"https://(?P<h>[^/]+)/")
+        h = pc.struct_field(host, "h")
+        salt = pc.cast(
+            pc.bit_wise_and(pc.cast(pc.binary_length(b["url"]), pa.int64()), 7),
+            pa.int64(),
+        )
+        return pa.table({"host": h, "salt": salt})
+
+    partial = (
+        pages.map_batches(hostify, batch_format="pyarrow")
+        .groupby(["host", "salt"])
+        .aggregate(_agg_count("c"))
+    )
+    final = partial.groupby("host").aggregate(_agg_sum("c", "n_pages"))
+    return final.sort(["n_pages", "host"], descending=[True, False]).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "token_counts": q_token_counts,
+    "field_check_en": q_field_check_en,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "quality_stats": q_quality_stats,
+    "pii_scrub_documents": q_pii_scrub_documents,
+    "events_daily": q_events_daily,
+    "top_users": q_top_users,
+    "event_type_distinct": q_event_type_distinct,
+    "props_valid": q_props_valid,
+    "q1_pricing": q_q1_pricing,
+    "segment_revenue": q_segment_revenue,
+    "ann_topk": q_ann_topk,
+    # rows-only (model / sketch based)
+    "pages_pipeline": q_pages_pipeline,
+    "langid_documents": q_langid_documents,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "host_topk": q_host_topk,
+}
+
+ORACLE_SQL = {
+    "doc_stats": """
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "token_counts": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+    "field_check_en": """
+        SELECT count(*) AS n_en FROM documents WHERE lang = 'en'
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id
+        FROM documents GROUP BY text
+    """,
+    "fingerprint": """
+        SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    "quality_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS mean_word_len
+        FROM documents
+    """,
+    "pii_scrub_documents": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+[0-9]{1,3} [0-9]{2,4} [0-9]{2,4} [0-9]{3,5}', '<PHONE>', 'g'),
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                 '\\b[0-9]{9,}\\b', '<ID>', 'g') AS text_scrubbed,
+               len(regexp_extract_all(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,3} [0-9]{2,4} [0-9]{2,4} [0-9]{3,5}', '<PHONE>', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                   '\\b[0-9]{9,}\\b', '<ID>', 'g'),
+                 '\\b(?:noxweed|grimspit|vilethorn|blightmaw)\\b')) AS tox_count
+        FROM documents
+    """,
+    "events_daily": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "top_users": """
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+    "event_type_distinct": """
+        SELECT event_type, min(ts) AS first_ts FROM events GROUP BY event_type
+    """,
+    "props_valid": """
+        SELECT count(*) FILTER (json_valid(props)
+                  AND json_type(json_extract(props, '$.k')) = 'UBIGINT') AS n_valid,
+               count(*) FILTER (json_valid(props)
+                  AND json_type(json_extract(props, '$.k')) = 'UBIGINT'
+                  AND CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_k_gt_50
+        FROM events
+    """,
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   AS sum_disc_cents,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "segment_revenue": """
+        SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT q.qid AS query_id, e.vec_id,
+                          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.qe AS DOUBLE[])) AS sim
+                   FROM embeddings e, q WHERE e.vec_id >= 5),
+             r AS (SELECT query_id, vec_id, sim,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, vec_id ASC) AS rank
+                   FROM c)
+        SELECT query_id, vec_id, round(sim, 6) AS sim, rank
+        FROM r WHERE rank <= 5
+    """,
+}

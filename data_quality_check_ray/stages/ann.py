@@ -20,11 +20,11 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _as_matrix(col) -> np.ndarray:
-    """list<float> column -> (n, d) float32 matrix (zero-copy flatten)."""
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    """list<float> column -> (n, d) matrix (zero-copy flatten + cast)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    vals = np.asarray(col.values, dtype=np.float32)
+    vals = np.asarray(col.values, dtype=dtype)
     offs = np.asarray(col.offsets, dtype=np.int64)
     d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
     return vals[offs[0]: offs[-1]].reshape(len(col), d)
@@ -38,14 +38,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     exclude_ids: set | None = None):
+                     exclude_ids: set | None = None, dtype=np.float32):
     """-> Dataset(query_id, vec_id, sim, rank) of cosine top-k per query.
 
     ``queries`` (Q, d) is normalized once on the driver and broadcast.
+    Use dtype=np.float64 when sims must match a double-precision oracle.
     """
     import ray
 
-    qn = _normalize(queries.astype(np.float32))
+    qn = _normalize(queries.astype(dtype))
     q_ref = ray.put((qn, query_ids.astype(np.int64)))
     excl = frozenset(int(x) for x in (exclude_ids or ()))
 
@@ -55,9 +56,9 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         if excl:
             mask = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
             ids = ids[mask]
-            emb = _as_matrix(batch[vec_col])[mask]
+            emb = _as_matrix(batch[vec_col], dtype)[mask]
         else:
-            emb = _as_matrix(batch[vec_col])
+            emb = _as_matrix(batch[vec_col], dtype)
         if not len(ids):
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),

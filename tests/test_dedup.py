@@ -1,0 +1,79 @@
+"""Dedup operators: exact, minhash-LSH, simhash."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from data_quality_check_ray.stages import dedup
+
+
+def _docs_table():
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest near the old stone bridge today"
+    )
+    near = base.replace("today", "tonight")  # high jaccard
+    other = "completely different content about database engines and arrow columnar formats for analytics"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},          # exact dup of 0
+        {"doc_id": 2, "text": near},          # near dup of 0
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": other + " extended with more words here"},
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_jaccard_scalar():
+    assert dedup.jaccard_scalar("a b c d e", "a b c d e") == 1.0
+    assert dedup.jaccard_scalar("a b c d e", "v w x y z") == 0.0
+
+
+def test_minhash_similarity_tracks_jaccard():
+    t = _docs_table()
+    sig = dedup.minhash_signatures(t["text"].combine_chunks())
+    est01 = (sig[0] == sig[1]).mean()
+    est02 = (sig[0] == sig[2]).mean()
+    est03 = (sig[0] == sig[3]).mean()
+    assert est01 == 1.0
+    assert est02 > 0.5
+    assert est03 < 0.2
+
+
+def test_exact_dedup(quiet_data_context):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == 4  # 0/1 collapse
+    assert 0 in set(out["min(doc_id)"])
+
+
+def test_minhash_dedup_finds_near_dups(quiet_data_context):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    out = dedup.minhash_dedup(ds, threshold=0.5).to_pandas().set_index("doc_id")
+    assert out.loc[1, "rep_id"] == 0 and out.loc[1, "is_dup"]
+    assert out.loc[2, "rep_id"] == 0 and out.loc[2, "is_dup"]
+    assert not out.loc[3, "is_dup"]
+
+
+def test_simhash_identical_texts_collide(quiet_data_context):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    out = dedup.simhash_dedup(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    assert out.loc[1, "rep_id"] == 0
+    assert out.loc[3, "simhash"] != out.loc[0, "simhash"]
+
+
+def test_simhash_near_texts_close_hamming():
+    t = _docs_table()
+    sh = dedup.simhash64(t["text"].combine_chunks())
+    ham = bin(int(sh[0]) ^ int(sh[2])).count("1")
+    ham_far = bin(int(sh[0]) ^ int(sh[3])).count("1")
+    assert ham < ham_far

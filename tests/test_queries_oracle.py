@@ -1,0 +1,87 @@
+"""Driver-gate rehearsal: queries() vs oracle_sql() via DuckDB at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+CHECKED = [
+    "doc_stats",
+    "token_counts",
+    "field_check_en",
+    "dedup_exact",
+    "fingerprint",
+    "quality_stats",
+    "pii_scrub_documents",
+    "events_daily",
+    "top_users",
+    "event_type_distinct",
+    "props_valid",
+    "q1_pricing",
+    "segment_revenue",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(name, con, quiet_data_context):
+    import __ray_entry__ as e
+
+    got = _canon(_to_pandas(e.queries()[name](SF_DIR)))
+    exp = _canon(con.sql(e.oracle_sql()[name]).to_df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            assert np.array_equal(a.astype(np.float64), b.astype(np.float64)), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+def test_rows_only_queries_run(quiet_data_context):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ("langid_documents", "simhash_dedup", "host_topk"):
+        out = _to_pandas(qs[name](SF_DIR))
+        assert len(out) > 0, name
+
+
+def test_entry_runs(quiet_data_context):
+    import __ray_entry__ as e
+
+    out = _to_pandas(e.entry())
+    assert len(out) == 500
+    assert {"url", "keep", "drop_reason", "text_scrubbed"} <= set(out.columns)
