@@ -43,12 +43,11 @@ class PipelineConfig:
     rules: RuleConfig = field(default_factory=RuleConfig)
     # batch sizing: extraction sees heavy binary html rows -> smaller batches
     extract_batch_size: int = 1024
-    stats_batch_size: int = 4096
-    model_batch_size: int = 4096
-    # actor pools for the stateful model stages (min, max) autoscaling.
-    # min=1 so the pools never starve the read/write stages of CPUs on a
+    stats_batch_size: int = 2048
+    model_batch_size: int = 2048
+    # the fused model stage runs as ONE autoscaling actor pool (min, max):
+    # min=1 so the pool never starves the read/write stages of CPUs on a
     # small node (the 110-permit admission analog is Ray's own streaming
-    # backpressure, SURVEY.md §4.1); the max lets the pool scale up to a
-    # third of a 24-32 CPU node each.
-    langid_concurrency: tuple[int, int] = (1, 8)
-    ppl_concurrency: tuple[int, int] = (1, 8)
+    # backpressure, SURVEY.md §4.1); max is capped by available CPUs at
+    # runtime.  bench.py widens this to ~the node size.
+    model_concurrency: tuple[int, int] = (1, 24)

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from ..sources.wordlists import WORDLISTS
 from .segments import row_ids_from_offsets, segment_sum_sequential
-from .textstats import WORD_TRIM_CHARS, as_single_array, split_words
+from .textstats import WORD_TRIM_CHARS
 
 H = 1 << 16          # unigram hash space
 PAIR_M = 1 << 20     # bigram hash table size
@@ -82,14 +82,15 @@ def ppl_scalar(text: str) -> np.float32:
     return np.float32(np.exp(-mean))
 
 
-def ppl_batch(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized batch perplexity -> float32[n]."""
-    arr = as_single_array(texts)
-    arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
-    wvals, woff = split_words(arr)
+def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None) -> np.ndarray:
+    """Vectorized batch perplexity -> float32[n].
+
+    ``pre`` is an optional ``textstats.tokenize(...)`` result (shared
+    tokenization in the fused model stage)."""
+    from .textstats import tokenize
+
+    _, _, woff, norm = pre if pre is not None else tokenize(texts)
     n = len(woff) - 1
-    norm = pc.utf8_trim(pc.utf8_lower(wvals), WORD_TRIM_CHARS)
-    norm = as_single_array(norm)
 
     # hash only the unique tokens (vocabulary is tiny vs corpus)
     dct = norm.dictionary_encode()

@@ -43,6 +43,19 @@ def segment_sum_sequential(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+def segment_sum_sequential32(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """float32 variant of segment_sum_sequential (accumulates in float32;
+    output widened to float64 exactly)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.float32)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    if x.size and nonempty.any():
+        res = np.add.reduceat(x, np.minimum(starts, x.size - 1))
+        out[nonempty] = res[nonempty]
+    return out.astype(np.float64)
+
+
 def row_ids_from_offsets(offsets: np.ndarray) -> np.ndarray:
     """Flattened-value index -> owning row id."""
     counts = np.diff(offsets)

@@ -78,19 +78,30 @@ def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
-def text_stats(texts: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+def tokenize(texts: pa.ChunkedArray | pa.Array):
+    """Shared tokenization: (filled_texts, word values, word offsets,
+    normalized words) — computed once per batch and reused by the
+    heuristics, perplexity and stop-word kernels in the fused stage."""
+    texts = as_single_array(texts)
+    texts = pc.fill_null(pc.cast(texts, pa.large_string()), "")
+    wvals, woff = split_words(texts)
+    norm = as_single_array(pc.utf8_trim(pc.utf8_lower(wvals), WORD_TRIM_CHARS))
+    return texts, wvals, woff, norm
+
+
+def text_stats(
+    texts: pa.ChunkedArray | pa.Array, pre=None
+) -> dict[str, np.ndarray]:
     """Compute all heuristic signals for a column of documents.
 
     Nulls are treated as empty text (zeros everywhere) — conformance drops
-    them independently.
+    them independently.  ``pre`` is an optional ``tokenize(...)`` result.
     """
-    texts = as_single_array(texts)
-    texts = pc.fill_null(pc.cast(texts, pa.large_string()), "")
+    texts, wvals, woff, norm = pre if pre is not None else tokenize(texts)
     n = len(texts)
 
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
 
-    wvals, woff = split_words(texts)
     n_words = np.diff(woff)
     nz = n_words > 0
 
@@ -105,7 +116,6 @@ def text_stats(texts: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
     symbol_ratio = np.zeros(n, dtype=np.float64)
     symbol_ratio[nz] = sym[nz] / n_words[nz]
 
-    norm = pc.utf8_trim(pc.utf8_lower(wvals), WORD_TRIM_CHARS)
     is_stop = pc.is_in(norm, value_set=_STOPWORD_SET)
     stop_counts = segment_sum_exact(
         is_stop.to_numpy(zero_copy_only=False).astype(np.int64), woff

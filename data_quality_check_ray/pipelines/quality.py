@@ -62,7 +62,10 @@ def pre_stage(batch: pa.Table) -> pa.Table:
     blocks, which are dropped before the batch leaves the stage."""
     batch = conforming_table(batch)
     batch = extract_stage(batch)
-    return conformance_stage(batch)
+    batch = conformance_stage(batch)
+    # the raw text column is redundant once text_effective exists — drop it
+    # before the batch ships to the model stage (early projection)
+    return batch.drop_columns(["text"])
 
 
 def make_post_stage(cfg: PipelineConfig):
@@ -80,26 +83,27 @@ def make_post_stage(cfg: PipelineConfig):
 
 
 def build_pipeline(ds, cfg: PipelineConfig | None = None):
-    """pages Dataset -> labeled Dataset (lazy; caller consumes/writes)."""
+    """pages Dataset -> labeled Dataset (lazy; caller consumes/writes).
+
+    Two physical operators:
+      * ``pre_stage`` as stateless tasks with small batches (heavy binary
+        html rows; dropped before the batch leaves the stage);
+      * ``QualityModelStage`` as ONE autoscaling actor pool holding all
+        model state (langid logprobs, LM hash tables, compiled regexes)
+        pinned per actor — a single pool, because chained actor pools
+        create pipeline bubbles (see QualityModelStage docstring).
+    """
+    from ..stages.models import QualityModelStage
+
     cfg = cfg or PipelineConfig()
     ds = ds.map_batches(
         pre_stage, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,
     )
     ds = ds.map_batches(
-        heuristics_stage, batch_format="pyarrow", batch_size=cfg.stats_batch_size,
-        zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        LangIdStage, batch_format="pyarrow", batch_size=cfg.model_batch_size,
-        concurrency=cfg.langid_concurrency, num_cpus=1, zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        PerplexityStage, batch_format="pyarrow", batch_size=cfg.model_batch_size,
-        concurrency=cfg.ppl_concurrency, num_cpus=1, zero_copy_batch=True,
-    )
-    ds = ds.map_batches(
-        make_post_stage(cfg), batch_format="pyarrow",
-        batch_size=cfg.stats_batch_size, zero_copy_batch=True,
+        QualityModelStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow", batch_size=cfg.model_batch_size,
+        concurrency=cfg.model_concurrency, num_cpus=1, zero_copy_batch=True,
     )
     return ds

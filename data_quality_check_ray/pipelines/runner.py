@@ -1,0 +1,87 @@
+"""Resumable partitioned run of the flagship pipeline.
+
+Job lifecycle (SURVEY.md §3.5 / §4.1 checkpoint-resume design):
+
+  1. plan: sorted input files -> deterministic partitions (id, fingerprint)
+  2. skip: partitions already marked done in <out>/_manifest.jsonl
+  3. per pending partition: read -> build_pipeline (streaming) ->
+     write_parquet to <out>/.tmp-<id> -> atomic rename to <out>/part-<id>
+  4. record: manifest line + lineage/metrics parquet row
+
+Each partition is itself a streaming Ray Data job over the whole cluster;
+partition granularity (files_per_partition) trades resume cost against
+scheduling overhead.  A killed run resumes by re-running only missing
+partitions; outputs are proven equal to a single fresh run in
+tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from ..config import PipelineConfig
+from ..state.manifest import Manifest, Partition, plan_partitions
+from ..state.metrics import append_lineage_row, partition_metrics
+from .quality import build_pipeline
+
+
+@dataclass
+class RunConfig:
+    input_dir: str
+    output_dir: str
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    files_per_partition: int = 4
+    max_partitions: int | None = None  # for tests: stop early (simulated kill)
+
+
+def _run_partition(p: Partition, cfg: RunConfig) -> dict:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t0 = time.time()
+    rows_in = sum(pq.read_metadata(f).num_rows for f in p.files)
+    ds = build_pipeline(rd.read_parquet(list(p.files)), cfg.pipeline)
+    tmp = os.path.join(cfg.output_dir, f".tmp-{p.partition_id}")
+    final = os.path.join(cfg.output_dir, f"part-{p.partition_id}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return partition_metrics(final, p.partition_id, rows_in, time.time() - t0)
+
+
+def run(cfg: RunConfig) -> dict:
+    """Execute (or resume) the job; returns summary counters."""
+    files = sorted(glob.glob(os.path.join(cfg.input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    parts = plan_partitions(files, cfg.files_per_partition)
+    manifest = Manifest.load(cfg.output_dir)
+
+    done = skipped = 0
+    for p in parts:
+        if manifest.is_done(p):
+            skipped += 1
+            continue
+        if cfg.max_partitions is not None and done >= cfg.max_partitions:
+            break
+        metrics = _run_partition(p, cfg)
+        manifest.mark_done(p, metrics)
+        append_lineage_row(
+            cfg.output_dir,
+            {"partition_id": p.partition_id, "fingerprint": p.fingerprint, **metrics},
+        )
+        done += 1
+
+    return {
+        "partitions_total": len(parts),
+        "partitions_done_now": done,
+        "partitions_skipped": skipped,
+        "complete": skipped + done == len(parts),
+    }

@@ -217,25 +217,47 @@ def pages_dataset(n: int, seed: int = DEFAULT_SEED, parallelism: int = -1):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
 
 
-def write_pages_parquet(
-    out_dir: str, n: int, seed: int = DEFAULT_SEED, num_files: int = 16
-) -> str:
-    """Materialize a deterministic pages table as a directory of parquet
-    files (one per contiguous row range → deterministic partition ids for
-    the resume manifest)."""
+def _write_one_file(args) -> None:
     import os
 
     import pyarrow.parquet as pq
 
+    path, lo, hi, seed = args
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    pq.write_table(generate_table(hi - lo, seed, start=lo), tmp)
+    os.replace(tmp, path)
+
+
+def write_pages_parquet(
+    out_dir: str, n: int, seed: int = DEFAULT_SEED, num_files: int = 16,
+    workers: int = 8,
+) -> str:
+    """Materialize a deterministic pages table as a directory of parquet
+    files (one per contiguous row range → deterministic partition ids for
+    the resume manifest).  Files are generated in parallel processes; each
+    file is a pure function of (seed, row range), so layout is identical
+    regardless of worker count."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     bounds = np.linspace(0, n, num_files + 1, dtype=np.int64)
+    jobs = []
     for k in range(num_files):
         lo, hi = int(bounds[k]), int(bounds[k + 1])
         if hi <= lo:
             continue
         path = os.path.join(out_dir, f"part-{k:05d}.parquet")
         if not os.path.exists(path):
-            tmp = path + ".tmp"
-            pq.write_table(generate_table(hi - lo, seed, start=lo), tmp)
-            os.replace(tmp, path)
+            jobs.append((path, lo, hi, seed))
+    if not jobs:
+        return out_dir
+    if workers <= 1 or len(jobs) == 1:
+        for j in jobs:
+            _write_one_file(j)
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_one_file, jobs))
     return out_dir

@@ -1,0 +1,86 @@
+"""Checkpoint/resume: kill after k partitions, rerun, outputs == single run."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from data_quality_check_ray.pipelines.runner import RunConfig, run
+from data_quality_check_ray.sources import synth
+from data_quality_check_ray.state.metrics import read_lineage
+
+N = 800
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_pages")
+    synth.write_pages_parquet(str(d), N, num_files=8)
+    return str(d)
+
+
+def _labels(out_dir):
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    import pyarrow as pa
+
+    t = pa.concat_tables(
+        pq.read_table(f, columns=["url", "keep", "drop_reason"]) for f in files
+    )
+    return t.to_pandas().set_index("url").sort_index()
+
+
+def test_interrupted_run_resumes_to_identical_output(
+    pages_dir, tmp_path_factory, quiet_data_context
+):
+    single = tmp_path_factory.mktemp("single")
+    resumed = tmp_path_factory.mktemp("resumed")
+
+    s = run(RunConfig(pages_dir, str(single), files_per_partition=2))
+    assert s["complete"] and s["partitions_total"] == 4
+
+    # simulated kill: only 2 of 4 partitions finish
+    r1 = run(RunConfig(pages_dir, str(resumed), files_per_partition=2, max_partitions=2))
+    assert not r1["complete"] and r1["partitions_done_now"] == 2
+
+    # resume: skips the 2 finished partitions, completes the rest
+    r2 = run(RunConfig(pages_dir, str(resumed), files_per_partition=2))
+    assert r2["complete"]
+    assert r2["partitions_skipped"] == 2 and r2["partitions_done_now"] == 2
+
+    a, b = _labels(str(single)), _labels(str(resumed))
+    assert len(a) == N
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["drop_reason"] == b["drop_reason"]).all()
+
+    # fully-done rerun is a no-op
+    r3 = run(RunConfig(pages_dir, str(resumed), files_per_partition=2))
+    assert r3["partitions_skipped"] == 4 and r3["partitions_done_now"] == 0
+
+
+def test_lineage_rows_cover_all_partitions(pages_dir, tmp_path_factory, quiet_data_context):
+    out = tmp_path_factory.mktemp("lineage")
+    run(RunConfig(pages_dir, str(out), files_per_partition=4))
+    lin = read_lineage(str(out)).to_pandas()
+    assert len(lin) == 2
+    assert lin["rows_in"].sum() == N == lin["rows_out"].sum()
+    assert (lin["n_kept"] > 0).all()
+    assert lin["drop_reasons"].str.contains("rule:").all()
+
+
+def test_changed_input_invalidates_fingerprint(pages_dir, tmp_path_factory, quiet_data_context):
+    out = tmp_path_factory.mktemp("fpr")
+    run(RunConfig(pages_dir, str(out), files_per_partition=8))
+    # same dir, different content size -> new fingerprint -> reprocessed
+    import pathlib
+
+    f = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[0]
+    data = pathlib.Path(f).read_bytes()
+    try:
+        pathlib.Path(f).write_bytes(data + b"\x00")
+        r = run(RunConfig(pages_dir, str(out), files_per_partition=8, max_partitions=0))
+        assert r["partitions_skipped"] == 0  # fingerprint mismatch -> pending
+    finally:
+        pathlib.Path(f).write_bytes(data)
