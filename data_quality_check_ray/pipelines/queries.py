@@ -370,6 +370,64 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_user_sessions(sf_dir: str):
+    """Session windows per user (30-min inactivity gap) — the streaming
+    sessionization recast as groupby(key).map_groups over ts-sorted groups
+    (bounded data => no watermarks; ray_guide.md streaming section)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > 1_800_000_000).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
+             "n_events": [len(g)]}
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4, a < b).
+
+    Small-side broadcast: the normalized matrix is ray.put ONCE; each batch
+    does one float64 matmul against it.  At 10^9+ vectors swap the
+    broadcast for the LSH sign-bucket variant (stages/ann.lsh_topk) so only
+    bucket-colliding vectors are compared."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.ann import _as_matrix, _normalize
+
+    rd = _rd()
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = _normalize(_as_matrix(full["embedding"], np.float64))
+    ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ref = ray.put((mat, ids))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        m, all_ids = ray.get(ref)
+        bids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(_as_matrix(b["embedding"], np.float64))
+        sims = bm @ m.T  # (batch, n_all)
+        r, c = np.where(sims >= 0.4)
+        a_ids, b_ids = bids[r], all_ids[c]
+        keep = a_ids < b_ids
+        return pa.table(
+            {
+                "a": a_ids[keep],
+                "b": b_ids[keep],
+                "sim": _round_half_away(sims[r, c][keep], 6),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (model / sketch based; no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -469,6 +527,8 @@ QUERIES = {
     "q1_pricing": q_q1_pricing,
     "segment_revenue": q_segment_revenue,
     "ann_topk": q_ann_topk,
+    "user_sessions": q_user_sessions,
+    "embed_dup_pairs": q_embed_dup_pairs,
     # rows-only (model / sketch based)
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
@@ -558,6 +618,26 @@ ORACLE_SQL = {
                sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
+    """,
+    "user_sessions": """
+        WITH x AS (
+            SELECT user_id, ts,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                       AS gap
+            FROM events)
+        SELECT user_id,
+               count(*) FILTER (gap IS NULL OR gap > 1800) AS n_sessions,
+               count(*) AS n_events
+        FROM x GROUP BY user_id
+    """,
+    "embed_dup_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -1,0 +1,79 @@
+"""Job entry point: ``python -m data_quality_check_ray.run`` (the
+``ray job submit`` target — SURVEY.md §3.5 lifecycle).
+
+Tunables mirror the reference's CLI surface (worker threads / metrics /
+log level, data-quality-server/src/main.rs:37-55) as engine-appropriate
+flags: batch sizes, actor-pool bounds, partition granularity, resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+
+def parse_log_level(s: str) -> int:
+    """Log-level parser with Info default (reference P10,
+    data-quality-settings/src/lib.rs:111-125)."""
+    return getattr(logging, s.upper(), logging.INFO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="web-text quality-filter job")
+    ap.add_argument("--input", required=True, help="dir of pages parquet files")
+    ap.add_argument("--output", required=True, help="output dir (resumable)")
+    ap.add_argument("--extract-batch-size", type=int, default=1024)
+    ap.add_argument("--model-batch-size", type=int, default=2048)
+    ap.add_argument("--concurrency", type=int, default=0,
+                    help="fixed model actor-pool size (0 = autoscale)")
+    ap.add_argument("--files-per-partition", type=int, default=4)
+    ap.add_argument("--num-cpus", type=int, default=0,
+                    help="ray.init num_cpus when starting a local session")
+    ap.add_argument("--log-level", default="info")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=parse_log_level(args.log_level))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or None,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import PipelineConfig
+    from .pipelines.runner import RunConfig, run
+
+    conc = (
+        (args.concurrency, args.concurrency)
+        if args.concurrency
+        else PipelineConfig().model_concurrency
+    )
+    summary = run(
+        RunConfig(
+            input_dir=args.input,
+            output_dir=args.output,
+            pipeline=PipelineConfig(
+                extract_batch_size=args.extract_batch_size,
+                model_batch_size=args.model_batch_size,
+                model_concurrency=conc,
+            ),
+            files_per_partition=args.files_per_partition,
+        )
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0 if summary["complete"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Real, tested Ray-side plumbing (schema, actor-pool signatures, batch
+sizing, output layout) with the codec itself stubbed: the sandbox has no
+image/audio libraries, so decoders fall back to a clearly-marked
+deterministic fake unless the real library imports (import-try gate).
+
+Scale notes: payload rows are large (images MBs each), so these stages are
+meant to run with SMALL batch_size (32-256) and `target_max_block_size`
+raised so Ray doesn't split blocks absurdly; features are emitted as
+fixed-width list<float> columns so downstream ANN (stages/ann.py) applies
+unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def byte_histogram_features(payload: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """REAL kernel (no stub): (n, 16) float32 features per binary payload —
+    coarse byte-value histogram (16 buckets, L1-normalized) + nothing
+    image-specific.  Vectorized: one pass over the flattened buffer."""
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    # flatten binary column via offsets
+    offs = np.frombuffer(payload.buffers()[1], dtype=np.int32 if payload.type == pa.binary() else np.int64)
+    offs = offs[payload.offset : payload.offset + len(payload) + 1].astype(np.int64)
+    data = np.frombuffer(payload.buffers()[2], dtype=np.uint8) if payload.buffers()[2] else np.empty(0, np.uint8)
+    b = data[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    n = len(payload)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    bucket = (b >> 4).astype(np.int64)  # 16 coarse buckets
+    flat = np.bincount(row_ids * 16 + bucket, minlength=n * 16).reshape(n, 16)
+    totals = flat.sum(axis=1, keepdims=True)
+    totals[totals == 0] = 1
+    return (flat / totals).astype(np.float32)
+
+
+def _fake_decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """STUB decoder: deterministic fake (md5-derived dims + byte-stat
+    "pixels"); replaces PIL in this sandbox.  NOT a real image decode."""
+    h = hashlib.md5(data).digest()
+    height = 64 + h[0] % 192
+    width = 64 + h[1] % 192
+    channels = 3
+    arr = np.frombuffer(data[:3072] if len(data) >= 3 else b"\x00\x00\x00", dtype=np.uint8)
+    mean_rgb = np.resize(arr.astype(np.float32), 3) / 255.0
+    return height, width, channels, mean_rgb
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: binary image column -> (height, width, channels,
+    mean_rgb list<float>, feat list<float>).
+
+    __init__ resolves the codec ONCE per actor: real PIL when available,
+    else the deterministic fake (sandbox).  Run with
+    ``map_batches(ImageFeatureStage, batch_size=64, concurrency=(1, N),
+    num_cpus=1, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, payload_col: str = "payload") -> None:
+        self.payload_col = payload_col
+        try:  # pragma: no cover - PIL absent in sandbox
+            from PIL import Image  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode(self, data: bytes | None):
+        if data is None:
+            return None
+        if self._real:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            im = Image.open(io.BytesIO(data)).convert("RGB")
+            arr = np.asarray(im, dtype=np.float32) / 255.0
+            return im.height, im.width, 3, arr.mean(axis=(0, 1))
+        return _fake_decode_image(data)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        heights, widths, chans, means = [], [], [], []
+        for data in batch[self.payload_col].to_pylist():
+            dec = self._decode(data)
+            if dec is None:
+                heights.append(None); widths.append(None); chans.append(None)
+                means.append(None)
+            else:
+                h, w, c, m = dec
+                heights.append(h); widths.append(w); chans.append(c)
+                means.append([float(x) for x in m])
+        feats = byte_histogram_features(batch[self.payload_col])
+        batch = batch.append_column("height", pa.array(heights, type=pa.int32()))
+        batch = batch.append_column("width", pa.array(widths, type=pa.int32()))
+        batch = batch.append_column("channels", pa.array(chans, type=pa.int32()))
+        batch = batch.append_column("mean_rgb", pa.array(means, type=pa.list_(pa.float32())))
+        return batch.append_column("feat", pa.array(list(feats), type=pa.list_(pa.float32())))
+
+
+class AudioFrameStage:
+    """Actor-pool stage: binary audio column -> frame-sampled stats.
+
+    STUB codec (no soundfile/librosa in sandbox): treats the payload as
+    raw int16 PCM; real plumbing = frame segmentation + per-frame RMS
+    (list<float>) with ``frame_len`` samples per frame.
+    """
+
+    def __init__(self, payload_col: str = "payload", frame_len: int = 1024) -> None:
+        self.payload_col = payload_col
+        self.frame_len = frame_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, rms = [], []
+        for data in batch[self.payload_col].to_pylist():
+            if data is None or len(data) < 2:
+                n_frames.append(0)
+                rms.append([])
+                continue
+            pcm = np.frombuffer(data[: len(data) - len(data) % 2], dtype=np.int16).astype(np.float32)
+            k = max(1, len(pcm) // self.frame_len)
+            frames = np.array_split(pcm[: k * self.frame_len], k)
+            n_frames.append(k)
+            rms.append([float(np.sqrt(np.mean(f**2))) for f in frames])
+        batch = batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
+        return batch.append_column("frame_rms", pa.array(rms, type=pa.list_(pa.float32())))

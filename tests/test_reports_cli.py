@@ -1,0 +1,68 @@
+"""Host-skew reports + CLI entries."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from data_quality_check_ray.pipelines.quality import build_pipeline
+from data_quality_check_ray.pipelines.reports import drop_reason_report, host_counts
+from data_quality_check_ray.sources import synth
+
+
+@pytest.fixture(scope="module")
+def labeled(quiet_data_context):
+    import ray.data as rd
+
+    return build_pipeline(rd.from_arrow(synth.generate_table(1000)))
+
+
+def test_host_counts_salted_equals_plain_groupby(labeled, quiet_data_context):
+    out = host_counts(labeled).to_pandas()
+    t = synth.generate_table(1000)
+    import collections
+
+    expect = collections.Counter(u.split("/")[2] for u in t["url"].to_pylist())
+    got = dict(zip(out["host"], out["n_pages"]))
+    assert got == dict(expect)
+    assert out["n_kept"].sum() > 0
+    # zipf skew present: top host owns many pages
+    assert out["n_pages"].iloc[0] > 20
+
+
+def test_drop_reason_report(labeled, quiet_data_context):
+    rep = drop_reason_report(labeled).to_pandas()
+    assert rep["n"].sum() == 1000
+    assert "" in set(rep["drop_reason"])
+
+
+def test_validate_one_cli_keep_and_drop():
+    page = {
+        "url": "https://h.example.org/p/1",
+        "warc_ts": 1_700_000_000_000_000,
+        "text": synth.generate_row(0)["text"],
+        "lang": "en",
+    }
+    r = subprocess.run(
+        [sys.executable, "scripts/validate_one.py", json.dumps(page)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["keep"] is True and out["drop_reason"] == ""
+
+    r2 = subprocess.run(
+        [sys.executable, "scripts/validate_one.py", json.dumps({"url": "u", "text": "hi"})],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 2
+    assert json.loads(r2.stdout)["drop_reason"] == "conform:null_ts"
+
+    r3 = subprocess.run(
+        [sys.executable, "scripts/validate_one.py", "not json"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r3.returncode == 1
