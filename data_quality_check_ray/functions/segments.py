@@ -32,27 +32,32 @@ def segment_sum_exact(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 def segment_sum_sequential(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-segment float sums with *sequential* accumulation order
-    (np.add.reduceat), matching a scalar per-row loop bit-for-bit."""
+    (np.add.reduceat), matching a scalar per-row loop bit-for-bit.
+
+    reduceat runs over the starts of NON-EMPTY segments only (all < len(x),
+    strictly increasing): the slice between consecutive non-empty starts is
+    exactly the earlier segment's extent, since the segments in between are
+    empty.  (Clipping empty-segment starts into range instead would insert
+    spurious split points inside valid segments.)"""
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.float64)
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
     if x.size and nonempty.any():
-        res = np.add.reduceat(x, np.minimum(starts, x.size - 1))
-        out[nonempty] = res[nonempty]
+        out[nonempty] = np.add.reduceat(x, starts[nonempty])
     return out
 
 
 def segment_sum_sequential32(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """float32 variant of segment_sum_sequential (accumulates in float32;
-    output widened to float64 exactly)."""
+    output widened to float64 exactly).  See that function's docstring for
+    the empty-segment handling."""
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.float32)
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
     if x.size and nonempty.any():
-        res = np.add.reduceat(x, np.minimum(starts, x.size - 1))
-        out[nonempty] = res[nonempty]
+        out[nonempty] = np.add.reduceat(x, starts[nonempty])
     return out.astype(np.float64)
 
 

@@ -36,36 +36,19 @@ REASON_ORDER = (
 
 def decide_stage(batch: pa.Table, rules: RuleConfig = RuleConfig()) -> pa.Table:
     """Append ``keep`` (bool) and ``drop_reason`` (string, "" when kept)."""
+    from ..functions.rules import DEFAULT_RULES, evaluate_rules
+
     n = len(batch)
-    g = lambda name: batch[name].to_numpy(zero_copy_only=False)  # noqa: E731
+    lang_in_target = np.array(
+        [p in ALLOWED_LANGS for p in batch["lang_pred"].to_pylist()]
+    )
 
-    n_chars = g("n_chars")
-    n_words = g("n_words")
-    lang_pred = batch["lang_pred"].to_pylist()
-    lang_in_target = np.array([p in ALLOWED_LANGS for p in lang_pred])
+    def get_signal(name: str) -> np.ndarray:
+        if name == "lang_in_target":
+            return lang_in_target
+        return batch[name].to_numpy(zero_copy_only=False)
 
-    fails: list[tuple[str, np.ndarray]] = [
-        ("rule:too_short", n_chars < rules.min_chars),
-        ("rule:too_long", n_chars > rules.max_chars),
-        ("rule:too_few_words", n_words < rules.min_words),
-        (
-            "rule:word_length",
-            (g("mean_word_len") < rules.min_mean_word_len)
-            | (g("mean_word_len") > rules.max_mean_word_len),
-        ),
-        ("rule:symbol_ratio", g("symbol_ratio") > rules.max_symbol_ratio),
-        ("rule:stopword", g("stop_fraction") < rules.min_stop_fraction),
-        ("rule:repetition", g("dup2gram_fraction") > rules.max_dup2gram_fraction),
-        ("rule:bullets", g("bullet_ratio") > rules.max_bullet_ratio),
-        ("rule:ellipsis", g("ellipsis_ratio") > rules.max_ellipsis_ratio),
-        ("langid:not_target", ~lang_in_target),
-        (
-            "langid:low_confidence",
-            g("lang_score") < np.float32(rules.min_lang_score),
-        ),
-        ("ppl:high", g("ppl") > np.float32(rules.max_ppl)),
-        ("tox:term", g("tox_count") > 0),
-    ]
+    fails = evaluate_rules(get_signal, rules, DEFAULT_RULES)
 
     # first-failing reason, evaluated back-to-front so earlier rules win
     reason = np.full(n, "", dtype=object)

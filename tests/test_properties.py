@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): the engine's vectorized kernels must
+agree with the pinned scalar spec on ARBITRARY text, not just generator
+output (SURVEY.md §5.2 property tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_quality_check_ray.functions import langid_model, lm
+from data_quality_check_ray.functions.pii import scrub_batch, scrub_scalar
+from data_quality_check_ray.functions.textstats import text_stats
+from data_quality_check_ray.pipelines.reference_rules import extract_text_scalar
+from data_quality_check_ray.sources.synth import wrap_html
+from data_quality_check_ray.stages.extract import extract_text_array
+
+# text without the private wrap markers (the generator never emits '<')
+plain_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="<"),
+    max_size=400,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(plain_text)
+def test_extract_inverts_wrap_for_any_text(t):
+    html = wrap_html(t, "h.example.org")
+    out = extract_text_array(pa.array([html], type=pa.binary()))[0].as_py()
+    assert out == t
+    assert extract_text_scalar(html) == t
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(plain_text, min_size=1, max_size=8))
+def test_text_stats_matches_python_spec(texts):
+    arr = pa.array(texts, type=pa.large_string())
+    stats = text_stats(arr)
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert stats["n_chars"][i] == len(t)
+        assert stats["n_words"][i] == len(words)
+        if words:
+            assert stats["mean_word_len"][i] == sum(len(w) for w in words) / len(words)
+        bigrams = list(zip(words, words[1:]))
+        expect_dup = 1.0 - len(set(bigrams)) / len(bigrams) if bigrams else 0.0
+        assert stats["dup2gram_fraction"][i] == expect_dup
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(plain_text, min_size=1, max_size=6))
+def test_langid_and_ppl_scalar_equal_vectorized(texts):
+    arr = pa.array(texts, type=pa.large_string())
+    preds, scores = langid_model.langid_scores(arr)
+    ppl = lm.ppl_batch(arr)
+    for i, t in enumerate(texts):
+        p, s = langid_model.score_scalar(t)
+        assert preds[i] == p
+        assert scores[i] == s
+        assert ppl[i] == lm.ppl_scalar(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(plain_text, min_size=1, max_size=6))
+def test_scrub_parity_arbitrary_text(texts):
+    arr = pa.array(texts, type=pa.large_string())
+    scrubbed, counts, tox = scrub_batch(arr)
+    for i, t in enumerate(texts):
+        s, c, tx = scrub_scalar(t)
+        assert scrubbed[i].as_py() == s
+        assert tox[i] == tx
+        for k in c:
+            assert counts[k][i] == c[k]
