@@ -31,8 +31,12 @@ def segment_sum_exact(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def segment_sum_sequential(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-segment float sums with *sequential* accumulation order
-    (np.add.reduceat), matching a scalar per-row loop bit-for-bit.
+    """Per-segment float sums via np.add.reduceat.
+
+    reduceat's internal accumulation order is deterministic (verified: a
+    segment's sum equals reduceat over that segment alone), so this matches
+    the pinned scalar spec bit-for-bit — the spec path sums each document's
+    values with the same op (see pipelines/reference_rules.py).
 
     reduceat runs over the starts of NON-EMPTY segments only (all < len(x),
     strictly increasing): the slice between consecutive non-empty starts is

@@ -133,7 +133,11 @@ def shingle_hashes(texts: pa.Array, k: int = 3):
 
 
 def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signatures (empty docs -> max)."""
+    """(n_docs, num_perm) uint64 minhash signatures (empty docs -> max).
+
+    Fully vectorized: one (num_perm, n_shingles) permuted-hash matrix, then
+    per-document mins via ``np.minimum.reduceat`` over the shingle
+    offsets — no Python loop over documents."""
     sh, off = shingle_hashes(texts)
     n = len(off) - 1
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -141,10 +145,11 @@ def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
         return sig
     # hv[perm, shingle] = (a*h + b) mod mersenne — vectorized outer
     hv = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
-    for d in range(n):
-        lo, hi = off[d], off[d + 1]
-        if hi > lo:
-            sig[d] = hv[:, lo:hi].min(axis=1)
+    starts = off[:-1]
+    nonempty = off[1:] > starts
+    if nonempty.any():
+        mins = np.minimum.reduceat(hv, starts[nonempty].astype(np.int64), axis=1)
+        sig[nonempty] = mins.T
     return sig
 
 
