@@ -74,7 +74,8 @@ def run_headline() -> dict:
 
     n = _n_pages()
     pages_dir = ensure_pages(n)
-    out_dir = "/tmp/dqcr_bench_out"
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+    out_dir = f"{base}/dqcr_bench_out"
 
     # warm page cache (untimed)
     rd.read_parquet(pages_dir).count()

@@ -47,15 +47,22 @@ def split_words(texts: pa.Array):
     words = pc.utf8_split_whitespace(texts)
     vals, off = list_to_numpy_segments(words)
     nonempty = pc.greater(pc.binary_length(vals), 0)
-    ne_np = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = segment_sum_exact(ne_np, off)
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    if ne_np.all():  # fast path: no edge-whitespace tokens to strip
+        return vals, off
+    counts = segment_sum_exact(ne_np.astype(np.int64), off)
     new_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return vals.filter(nonempty), new_off
 
 
 def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row fraction of duplicate word-2-grams: 1 - unique/total
-    (0.0 when a row has <2 words).  Fully vectorized via lexsort."""
+    (0.0 when a row has <2 words).
+
+    Fully vectorized and EXACT (dictionary codes, not lossy hashes): the
+    (row, code1, code2) triple is packed into one int64 sort key —
+    single-key np.sort is ~16x faster than np.lexsort here — with a
+    lexsort fallback if the packing could overflow."""
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.float64)
     if len(codes) < 2:
@@ -68,11 +75,18 @@ def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     base = np.int64(codes.max()) + 1
     bg_hash = codes[:-1][same_row].astype(np.int64) * base + codes[1:][same_row]
     total = np.bincount(bg_row, minlength=n)
-    order = np.lexsort((bg_hash, bg_row))
-    sr, sh = bg_row[order], bg_hash[order]
-    new = np.ones(len(sr), dtype=bool)
-    new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
-    uniq = np.bincount(sr[new], minlength=n)
+    base2 = base * base
+    if int(n) * int(base2) < (1 << 62):  # exact packing fits in int64
+        comb = np.sort(bg_row * base2 + bg_hash)
+        new = np.ones(len(comb), dtype=bool)
+        new[1:] = comb[1:] != comb[:-1]
+        uniq = np.bincount((comb[new] // base2), minlength=n)
+    else:  # pathological vocabulary size: exact two-key sort
+        order = np.lexsort((bg_hash, bg_row))
+        sr, sh = bg_row[order], bg_hash[order]
+        new = np.ones(len(sr), dtype=bool)
+        new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+        uniq = np.bincount(sr[new], minlength=n)
     nz = total > 0
     out[nz] = 1.0 - uniq[nz] / total[nz]
     return out
