@@ -337,6 +337,63 @@ def q_segment_revenue(sf_dir: str):
     )
 
 
+def q_priority_revenue(sf_dir: str):
+    """Partitioned hash join, BOTH sides large (lineitem ⋈ orders on the
+    order key), then grouped revenue per order priority — the explicit
+    bucketed-join pattern for when neither side fits a broadcast
+    (stages/joins.hash_join: hash-bucket both sides, merge per bucket)."""
+    from ..stages.joins import hash_join
+
+    rd = _rd()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "disc_cents": _cents(disc)})
+
+    li = li.map_batches(derive, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
+                       num_buckets=16)
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(_agg_count("n_items"), _agg_sum("disc_cents", "revenue_cents"))
+    )
+
+
+def q_asof_purchase_before_error(sf_dir: str):
+    """As-of join: for each 'error' event, the user's most recent
+    purchase at-or-before it (merge_asof per ts-sorted user group —
+    stages/joins.asof_join_grouped)."""
+    from ..stages.joins import asof_join_grouped
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    errors = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join_grouped(errors, purchases, key="user_id", ts="ts",
+                             right_cols=["value"])
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -431,6 +488,18 @@ def q_embed_dup_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 # rows-only queries (model / sketch based; no SQL oracle)
 # ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users over events — mergeable
+    per-batch sketches (4 KiB partials), the shuffle-free stand-in for
+    ``unique()`` at 10^12 rows.  Approximate by design => rows-only."""
+    from ..functions.sketches import approx_distinct
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([est], type=pa.float64())})
 
 
 def q_pages_pipeline(sf_dir: str):
@@ -529,7 +598,10 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "user_sessions": q_user_sessions,
     "embed_dup_pairs": q_embed_dup_pairs,
-    # rows-only (model / sketch based)
+    "priority_revenue": q_priority_revenue,
+    "asof_purchase_before_error": q_asof_purchase_before_error,
+    # rows-only (model / sketch / approximation based)
+    "approx_distinct_users": q_approx_distinct_users,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
@@ -638,6 +710,27 @@ ORACLE_SQL = {
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    "priority_revenue": """
+        SELECT o.o_orderpriority, count(*) AS n_items,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "asof_purchase_before_error": """
+        WITH e AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+             p AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             j AS (SELECT e.event_id, e.user_id, e.ts,
+                          p.ts AS ts_asof, p.value AS value_asof,
+                          row_number() OVER (PARTITION BY e.event_id
+                                             ORDER BY p.ts DESC) AS rn
+                   FROM e LEFT JOIN p
+                     ON p.user_id = e.user_id AND p.ts <= e.ts)
+        SELECT event_id, user_id, ts, ts_asof, value_asof
+        FROM j WHERE rn = 1
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe

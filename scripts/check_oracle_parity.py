@@ -31,6 +31,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -77,16 +79,20 @@ def main():
             for c in g.columns:
                 a, b = g[c].to_numpy(), x[c].to_numpy()
                 if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-                    eq = np.array_equal(a.astype(np.float64), b.astype(np.float64))
-                    close = np.allclose(a.astype(np.float64), b.astype(np.float64), rtol=1e-12, equal_nan=True)
+                    af, bf = a.astype(np.float64), b.astype(np.float64)
+                    eq = np.array_equal(af, bf, equal_nan=True)
+                    close = np.allclose(af, bf, rtol=1e-12, equal_nan=True)
                     if not eq:
                         status = "FLOAT-DIFF" if close else "VALUE-MISMATCH"
-                        bad = np.where(a.astype(np.float64) != b.astype(np.float64))[0][:3]
+                        both_nan = np.isnan(af) & np.isnan(bf)
+                        bad = np.where((af != bf) & ~both_nan)[0][:3]
                         detail += f" col={c} rows={bad.tolist()} {a[bad]} vs {b[bad]}"
                 else:
-                    if not np.array_equal(a, b):
+                    # NaN/NaT-aware exact compare (Series.equals)
+                    if not g[c].equals(x[c]):
                         status = "VALUE-MISMATCH"
-                        bad = np.where(a != b)[0][:3]
+                        neq = (g[c] != x[c]) & ~(g[c].isna() & x[c].isna())
+                        bad = np.where(neq.to_numpy())[0][:3]
                         detail += f" col={c} rows={bad.tolist()} {a[bad]} vs {b[bad]}"
         if status != "OK":
             failures += 1

@@ -1,0 +1,99 @@
+"""Partitioned hash join, as-of join, HLL sketch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_quality_check_ray.functions.sketches import (
+    approx_distinct,
+    hll_estimate,
+    hll_from_ints,
+    hll_merge,
+)
+from data_quality_check_ray.stages.joins import asof_join_grouped, hash_join
+
+
+def test_hash_join_matches_pandas(quiet_data_context):
+    import ray.data as rd
+
+    rs = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rs.randint(0, 50, 300), "x": np.arange(300)})
+    right = pd.DataFrame({"rk": np.arange(0, 60), "y": np.arange(60) * 10})
+    got = (
+        hash_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            key="k", right_key="rk", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right.rename(columns={"rk": "k"}), on="k", how="inner")
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[expect.columns], expect, check_dtype=False)
+
+
+def test_asof_join_matches_merge_asof(quiet_data_context):
+    import ray.data as rd
+
+    rs = np.random.RandomState(6)
+    left = pd.DataFrame(
+        {
+            "user_id": rs.randint(0, 5, 80),
+            "ts": pd.to_datetime(rs.randint(0, 10**6, 80), unit="s"),
+            "event_id": np.arange(80),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rs.randint(0, 5, 40),
+            "ts": pd.to_datetime(rs.randint(0, 10**6, 40), unit="s"),
+            "value": rs.rand(40).round(3),
+        }
+    )
+    got = (
+        asof_join_grouped(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            key="user_id", ts="ts", right_cols=["value"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"ts": "ts_asof", "value": "value_asof"}),
+        left_on="ts", right_on="ts_asof", by="user_id",
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "value_asof"]], expect[["event_id", "value_asof"]],
+        check_dtype=False,
+    )
+
+
+def test_hll_accuracy_and_mergeability():
+    rs = np.random.RandomState(7)
+    keys = rs.randint(0, 50_000, 200_000).astype(np.int64)
+    exact = len(np.unique(keys))
+    one = hll_estimate(hll_from_ints(keys))
+    assert abs(one - exact) / exact < 0.03
+    # merge of disjoint chunks == sketch of the whole
+    parts = [hll_from_ints(c) for c in np.array_split(keys, 7)]
+    merged = hll_estimate(hll_merge(parts))
+    assert merged == one
+
+
+def test_approx_distinct_on_dataset(quiet_data_context):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"user_id": np.arange(5000) % 1234})).repartition(6)
+    est = approx_distinct(ds, "user_id")
+    assert abs(est - 1234) / 1234 < 0.05

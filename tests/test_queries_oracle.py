@@ -25,6 +25,10 @@ CHECKED = [
     "q1_pricing",
     "segment_revenue",
     "ann_topk",
+    "user_sessions",
+    "embed_dup_pairs",
+    "priority_revenue",
+    "asof_purchase_before_error",
 ]
 
 
@@ -41,6 +45,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -65,9 +71,11 @@ def test_query_matches_oracle(name, con, quiet_data_context):
     for c in got.columns:
         a, b = got[c].to_numpy(), exp[c].to_numpy()
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-            assert np.array_equal(a.astype(np.float64), b.astype(np.float64)), c
+            assert np.array_equal(
+                a.astype(np.float64), b.astype(np.float64), equal_nan=True
+            ), c
         else:
-            assert np.array_equal(a, b), c
+            assert got[c].equals(exp[c]), c
 
 
 def test_rows_only_queries_run(quiet_data_context):
