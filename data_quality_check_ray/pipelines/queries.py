@@ -83,9 +83,15 @@ def _agg_min(col, alias):
     return Min(col, alias_name=alias)
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style word/number/punct pieces), written in
+#: the RE2/re common subset so Arrow and DuckDB count identically
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def q_token_counts(sf_dir: str):
-    """Whitespace token count per document (reference P8 tokenizer analog,
-    dynamic-message/src/lib.rs:287-289, vectorized)."""
+    """Token counts per document: whitespace split (reference P8 tokenizer
+    analog, dynamic-message/src/lib.rs:287-289) AND a BPE-ish regex
+    pre-tokenization count — both vectorized."""
     from ..functions.textstats import split_words
 
     rd = _rd()
@@ -96,7 +102,14 @@ def q_token_counts(sf_dir: str):
 
         texts = pc.fill_null(pc.cast(as_single_array(b["text"]), pa.large_string()), "")
         _, off = split_words(texts)
-        return pa.table({"doc_id": b["doc_id"], "n_tokens": np.diff(off)})
+        bpe = pc.count_substring_regex(texts, BPE_TOKEN_PATTERN)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": np.diff(off),
+                "n_tokens_bpe": pc.cast(bpe, pa.int64()),
+            }
+        )
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -615,7 +628,10 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "token_counts": """
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                   AS n_tokens_bpe
         FROM documents
     """,
     "field_check_en": """
