@@ -89,6 +89,79 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# IVF variant (scale path #2): coarse k-means cells + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(sample: np.ndarray, n_cells: int = 16, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (seeded md5
+    init) -> (n_cells, d) L2-normalized centroids.  At 10^12 rows the
+    sample is a small `ds.random_sample(frac, seed=..)` materialization."""
+    m = _normalize(sample.astype(np.float32))
+    seed = int.from_bytes(hashlib.md5(b"ivf-init").digest()[:4], "little")
+    idx = np.random.RandomState(seed).choice(len(m), size=min(n_cells, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = m[mask].mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarray,
+             k: int = 5, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF search: each batch row is assigned to its nearest centroid cell;
+    only rows whose cell is among a query's ``nprobe`` closest cells enter
+    that query's matmul.  Approximate (recall < 1 for small nprobe);
+    centroids + queries broadcast once."""
+    import ray
+
+    qn = _normalize(queries.astype(np.float32))
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qn, query_ids.astype(np.int64), centroids, q_cells))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qmat, qids, cents, qc = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_as_matrix(batch[vec_col]))
+        cell = (emb @ cents.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(qmat.shape[0]):
+            mask = np.isin(cell, qc[j])
+            if not mask.any():
+                continue
+            sims = emb[mask] @ qmat[j]
+            kk = min(k, int(mask.sum()))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[j]))
+            out_id.append(ids[mask][top])
+            out_sim.append(sims[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "sim": np.concatenate(out_sim),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 

@@ -69,3 +69,33 @@ def test_lsh_prunes_but_finds_self(quiet_data_context):
     top = out[(out["query_id"] == 10) & (out["rank"] == 1)]
     assert top["vec_id"].iloc[0] == 10
     assert np.isclose(top["sim"].iloc[0], 1.0, atol=1e-5)
+
+
+def test_ivf_recall_vs_brute_force(quiet_data_context):
+    import ray.data as rd
+    from data_quality_check_ray.stages.ann import ivf_topk, train_ivf_centroids
+
+    t, m = _emb_table(n=400)
+    cents = train_ivf_centroids(m, n_cells=8, iters=5)
+    assert cents.shape == (8, 16)
+    # determinism
+    assert np.array_equal(cents, train_ivf_centroids(m, n_cells=8, iters=5))
+
+    queries = m[:3]
+    qids = np.arange(3)
+    ds = rd.from_arrow(t).repartition(4)
+    ivf = ivf_topk(ds, queries, qids, cents, k=5, nprobe=4).to_pandas()
+    bf = brute_force_topk(ds, queries.astype(np.float64), qids, k=5,
+                          dtype=np.float64).to_pandas()
+    # recall@5 with nprobe=4 of 8 cells should be high on random data
+    hits = total = 0
+    for q in range(3):
+        got = set(ivf[ivf["query_id"] == q]["vec_id"])
+        want = set(bf[bf["query_id"] == q]["vec_id"])
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.6
+    # the query vector itself (its own nearest neighbor) is always found
+    for q in range(3):
+        top1 = ivf[(ivf["query_id"] == q) & (ivf["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == q
