@@ -124,6 +124,10 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    if os.environ.get("BENCH_PREFETCH"):
+        ctx.actor_prefetcher_enabled = True
+    if os.environ.get("BENCH_INFLIGHT"):
+        ctx.max_tasks_in_flight_per_actor = int(os.environ["BENCH_INFLIGHT"])
 
     head = run_headline()
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
