@@ -28,6 +28,7 @@ class RuleConfig:
     min_mean_word_len: float = 2.0
     max_mean_word_len: float = 12.0
     max_symbol_ratio: float = 0.1
+    min_alpha_word_fraction: float = 0.7
     min_stop_fraction: float = 0.02
     max_dup2gram_fraction: float = 0.5
     max_bullet_ratio: float = 0.9

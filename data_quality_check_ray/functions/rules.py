@@ -47,6 +47,7 @@ DEFAULT_RULES: tuple[Rule, ...] = (
     Rule("rule:word_length", "mean_word_len", _lt, "min_mean_word_len"),
     Rule("rule:word_length", "mean_word_len", _gt, "max_mean_word_len"),
     Rule("rule:symbol_ratio", "symbol_ratio", _gt, "max_symbol_ratio"),
+    Rule("rule:non_alpha", "alpha_word_fraction", _lt, "min_alpha_word_fraction"),
     Rule("rule:stopword", "stop_fraction", _lt, "min_stop_fraction"),
     Rule("rule:repetition", "dup2gram_fraction", _gt, "max_dup2gram_fraction"),
     Rule("rule:bullets", "bullet_ratio", _gt, "max_bullet_ratio"),

@@ -130,6 +130,15 @@ def text_stats(
     symbol_ratio = np.zeros(n, dtype=np.float64)
     symbol_ratio[nz] = sym[nz] / n_words[nz]
 
+    # fraction of words containing at least one letter (Gopher ~80% rule);
+    # \p{L} (RE2) == str.isalpha's category-L check in the scalar spec
+    has_alpha = pc.match_substring_regex(wvals, r"\p{L}")
+    alpha_counts = segment_sum_exact(
+        has_alpha.to_numpy(zero_copy_only=False).astype(np.int64), woff
+    )
+    alpha_word_fraction = np.zeros(n, dtype=np.float64)
+    alpha_word_fraction[nz] = alpha_counts[nz] / n_words[nz]
+
     is_stop = pc.is_in(norm, value_set=_STOPWORD_SET)
     stop_counts = segment_sum_exact(
         is_stop.to_numpy(zero_copy_only=False).astype(np.int64), woff
@@ -163,6 +172,7 @@ def text_stats(
         "n_words": n_words.astype(np.int64),
         "mean_word_len": mean_word_len,
         "symbol_ratio": symbol_ratio,
+        "alpha_word_fraction": alpha_word_fraction,
         "stop_fraction": stop_fraction,
         "dup2gram_fraction": dup2,
         "bullet_ratio": bullet_ratio,

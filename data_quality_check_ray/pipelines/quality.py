@@ -30,6 +30,7 @@ from ..stages.scrub import scrub_stage
 QUALITY_SIGNALS = (
     "mean_word_len",
     "symbol_ratio",
+    "alpha_word_fraction",
     "stop_fraction",
     "dup2gram_fraction",
     "bullet_ratio",

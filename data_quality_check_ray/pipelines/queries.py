@@ -218,6 +218,37 @@ def q_events_daily(sf_dir: str):
     )
 
 
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding 3-hour window (1-hour hop) event counts per type: tumbling
+    hourly partials via groupby, then a per-type ordered rolling sum inside
+    map_groups — the two-level decomposition that keeps the wide shuffle on
+    the SMALL hourly aggregate, never the raw events."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def hourly(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"hour": h, "event_type": b["event_type"]})
+
+    hourly_counts = (
+        ds.map_batches(hourly, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(_agg_count("n"))
+    )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").reset_index(drop=True)
+        hours = g["hour"].to_numpy()
+        n = g["n"].to_numpy()
+        # sum of hourly counts within (hour - 2h, hour]
+        lo = np.searchsorted(hours, hours - np.timedelta64(2, "h"), side="left")
+        cs = np.concatenate([[0], np.cumsum(n)])
+        g["n_3h"] = cs[np.arange(1, len(n) + 1)] - cs[lo]
+        return g[["event_type", "hour", "n", "n_3h"]]
+
+    return hourly_counts.groupby("event_type").map_groups(rolling, batch_format="pandas")
+
+
 def q_top_users(sf_dir: str):
     """Top-10 users by event count (sort + limit; deterministic tiebreak)."""
     rd = _rd()
@@ -603,6 +634,7 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
     "events_daily": q_events_daily,
+    "events_sliding_3h": q_events_sliding_3h,
     "top_users": q_top_users,
     "event_type_distinct": q_event_type_distinct,
     "props_valid": q_props_valid,
@@ -674,6 +706,16 @@ ORACLE_SQL = {
                count(*) AS n_events,
                sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
         FROM events GROUP BY 1, 2
+    """,
+    "events_sliding_3h": """
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, hour, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                            RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                                      AND CURRENT ROW) AS n_3h
+        FROM h
     """,
     "top_users": """
         SELECT user_id, count(*) AS n_events

@@ -90,6 +90,8 @@ def label_row(row: dict, rules: RuleConfig = RuleConfig()) -> dict:
     mean_wl = sum(len(w) for w in words) / n_words if n_words else 0.0
     sym = text.count("#") + text.count("…")
     symbol_ratio = sym / n_words if n_words else 0.0
+    alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+    alpha_word_fraction = alpha / n_words if n_words else 0.0
     stop = sum(1 for w in words if w.lower().strip(WORD_TRIM_CHARS) in STOPWORDS)
     stop_fraction = stop / n_words if n_words else 0.0
     bigrams = list(zip(words, words[1:]))
@@ -112,6 +114,8 @@ def label_row(row: dict, rules: RuleConfig = RuleConfig()) -> dict:
         return done("rule:word_length")
     if symbol_ratio > rules.max_symbol_ratio:
         return done("rule:symbol_ratio")
+    if alpha_word_fraction < rules.min_alpha_word_fraction:
+        return done("rule:non_alpha")
     if stop_fraction < rules.min_stop_fraction:
         return done("rule:stopword")
     if dup2 > rules.max_dup2gram_fraction:

@@ -23,6 +23,7 @@ REASON_ORDER = (
     "rule:too_few_words",
     "rule:word_length",
     "rule:symbol_ratio",
+    "rule:non_alpha",
     "rule:stopword",
     "rule:repetition",
     "rule:bullets",

@@ -283,6 +283,97 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# distributed connected components (scale path for cluster closure)
+# ---------------------------------------------------------------------------
+
+
+def connected_components_distributed(edges_ds, max_rounds: int = 6):
+    """Edge Dataset (a:int64, b:int64) -> Dataset (node, label) where label
+    is the min node id of the connected component.
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels (one groupby-join + one
+    groupby-min shuffle per round; converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so ``max_rounds=6`` covers
+    them).  This is the ray_guide.md alternative to driver-side union-find
+    when the candidate-pair set is NOT provably small."""
+    import ray.data as rd
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": np.concatenate([a, bb]),
+                "label": np.concatenate([a, bb]),
+            }
+        )
+
+    labels = (
+        edges_ds.map_batches(to_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": np.concatenate([a, bb]),
+                "x": np.concatenate([bb, a]),
+            }
+        )
+
+    edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        # group each node's incident edges with its current label; spread
+        # the group-min label to every neighbor x
+        def pad_edges(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "x": b["x"],
+                    "label": pa.nulls(len(b), pa.int64()),
+                }
+            )
+
+        def pad_labels(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "x": pa.nulls(len(b), pa.int64()),
+                    "label": b["label"],
+                }
+            )
+
+        unioned = edges_both.map_batches(pad_edges, batch_format="pyarrow").union(
+            labels.map_batches(pad_labels, batch_format="pyarrow")
+        )
+
+        def spread(g: pd.DataFrame) -> pd.DataFrame:
+            lbl = int(g["label"].min())
+            out_nodes = [int(g["node"].iloc[0])]
+            out_nodes.extend(int(x) for x in g["x"].dropna())
+            return pd.DataFrame({"node": out_nodes, "label": lbl})
+
+        labels = (
+            unioned.groupby("node")
+            .map_groups(spread, batch_format="pandas")
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+            )
+        )
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -77,3 +77,37 @@ def test_simhash_near_texts_close_hamming():
     ham = bin(int(sh[0]) ^ int(sh[2])).count("1")
     ham_far = bin(int(sh[0]) ^ int(sh[3])).count("1")
     assert ham < ham_far
+
+
+def test_distributed_connected_components(quiet_data_context):
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.dedup import connected_components_distributed
+
+    rs = np.random.RandomState(11)
+    # a few chains + rings + singleton pairs among 60 nodes
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),          # chain -> label 0
+             (10, 11), (11, 12), (12, 10),            # ring  -> label 10
+             (20, 21), (30, 31), (40, 41), (41, 42)]
+    edges += [(50 + i, 50 + i + 1) for i in range(5)]  # chain 50..55
+    t = pa.table({"a": np.array([a for a, _ in edges], dtype=np.int64),
+                  "b": np.array([b for _, b in edges], dtype=np.int64)})
+    out = (
+        connected_components_distributed(rd.from_arrow(t).repartition(3))
+        .to_pandas().set_index("node")["label"].to_dict()
+    )
+
+    # union-find reference
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert out == expect

@@ -24,6 +24,7 @@ def test_threshold_change_is_config_only():
         "n_words": np.array([50, 50]),
         "mean_word_len": np.array([5.0, 5.0]),
         "symbol_ratio": np.array([0.0, 0.0]),
+        "alpha_word_fraction": np.array([1.0, 1.0]),
         "stop_fraction": np.array([0.5, 0.5]),
         "dup2gram_fraction": np.array([0.0, 0.0]),
         "bullet_ratio": np.array([0.0, 0.0]),
