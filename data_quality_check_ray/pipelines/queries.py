@@ -227,7 +227,10 @@ def q_events_sliding_3h(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
 
     def hourly(b: pa.Table) -> pa.Table:
-        h = pc.floor_temporal(b["ts"], unit="hour")
+        # keep timestamp[us] explicitly: floor_temporal stays [us] but the
+        # downstream pandas round-trip can narrow to [s] inconsistently
+        # across blocks (schema-wobble warnings)
+        h = pc.cast(pc.floor_temporal(b["ts"], unit="hour"), pa.timestamp("us"))
         return pa.table({"hour": h, "event_type": b["event_type"]})
 
     hourly_counts = (
@@ -238,6 +241,7 @@ def q_events_sliding_3h(sf_dir: str):
 
     def rolling(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("hour").reset_index(drop=True)
+        g["hour"] = g["hour"].astype("datetime64[us]")
         hours = g["hour"].to_numpy()
         n = g["n"].to_numpy()
         # sum of hourly counts within (hour - 2h, hour]
