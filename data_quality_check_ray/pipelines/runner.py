@@ -24,7 +24,12 @@ import time
 from dataclasses import dataclass, field
 
 from ..config import PipelineConfig
-from ..state.manifest import Manifest, Partition, plan_partitions
+from ..state.manifest import (
+    Manifest,
+    Partition,
+    plan_partitions,
+    plan_partitions_hashed,
+)
 from ..state.metrics import append_lineage_row, partition_metrics
 from .quality import build_pipeline
 
@@ -36,6 +41,10 @@ class RunConfig:
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     files_per_partition: int = 4
     max_partitions: int | None = None  # for tests: stop early (simulated kill)
+    #: >0 => append-stable hashed grouping with this many groups (an input
+    #: dir that GROWS between runs only reprocesses groups that gained
+    #: files); 0 => contiguous grouping by files_per_partition
+    hash_groups: int = 0
 
 
 def _run_partition(p: Partition, cfg: RunConfig) -> dict:
@@ -61,7 +70,11 @@ def run(cfg: RunConfig) -> dict:
     if not files:
         raise FileNotFoundError(f"no parquet files under {cfg.input_dir}")
     os.makedirs(cfg.output_dir, exist_ok=True)
-    parts = plan_partitions(files, cfg.files_per_partition)
+    parts = (
+        plan_partitions_hashed(files, cfg.hash_groups)
+        if cfg.hash_groups
+        else plan_partitions(files, cfg.files_per_partition)
+    )
     manifest = Manifest.load(cfg.output_dir)
 
     done = skipped = 0

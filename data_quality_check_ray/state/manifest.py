@@ -23,6 +23,14 @@ class Partition:
     fingerprint: str
 
 
+def _fingerprint(group: tuple[str, ...]) -> str:
+    h = hashlib.md5()
+    for f in group:
+        h.update(f.encode())
+        h.update(str(os.path.getsize(f)).encode())
+    return h.hexdigest()
+
+
 def plan_partitions(input_files: list[str], files_per_partition: int = 4) -> list[Partition]:
     """Deterministic partitioning of sorted input files into contiguous
     groups; fingerprint covers file names + sizes."""
@@ -30,11 +38,31 @@ def plan_partitions(input_files: list[str], files_per_partition: int = 4) -> lis
     parts = []
     for k, i in enumerate(range(0, len(files), files_per_partition)):
         group = tuple(files[i : i + files_per_partition])
-        h = hashlib.md5()
-        for f in group:
-            h.update(f.encode())
-            h.update(str(os.path.getsize(f)).encode())
-        parts.append(Partition(f"{k:05d}", group, h.hexdigest()))
+        parts.append(Partition(f"{k:05d}", group, _fingerprint(group)))
+    return parts
+
+
+def plan_partitions_hashed(input_files: list[str], num_groups: int) -> list[Partition]:
+    """Append-stable partitioning: each file lands in the group given by a
+    stable hash of its BASENAME, so adding new input files leaves every
+    existing group's membership (and fingerprint) unchanged — only the
+    groups receiving new files are reprocessed on resume.
+
+    ``num_groups`` must stay constant across runs of one job (record it
+    alongside the output); contiguous ``plan_partitions`` is the default
+    when the input set is fixed up front."""
+    groups: list[list[str]] = [[] for _ in range(num_groups)]
+    for f in sorted(input_files):
+        g = int.from_bytes(
+            hashlib.md5(os.path.basename(f).encode()).digest()[:4], "little"
+        ) % num_groups
+        groups[g].append(f)
+    parts = []
+    for k, members in enumerate(groups):
+        if not members:
+            continue
+        group = tuple(members)
+        parts.append(Partition(f"{k:05d}", group, _fingerprint(group)))
     return parts
 
 

@@ -84,3 +84,39 @@ def test_changed_input_invalidates_fingerprint(pages_dir, tmp_path_factory, quie
         assert r["partitions_skipped"] == 0  # fingerprint mismatch -> pending
     finally:
         pathlib.Path(f).write_bytes(data)
+
+
+def test_hashed_partitions_are_append_stable(pages_dir, tmp_path_factory, quiet_data_context):
+    """Growing the input dir only reprocesses groups that gained files."""
+    import shutil
+
+    from data_quality_check_ray.state.manifest import plan_partitions_hashed
+
+    grow = tmp_path_factory.mktemp("grow_pages")
+    files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    for f in files[:6]:
+        shutil.copy(f, grow)
+    before = {p.partition_id: p.fingerprint
+              for p in plan_partitions_hashed(
+                  sorted(glob.glob(str(grow) + "/*.parquet")), 4)}
+    # run, then append two more files
+    out = tmp_path_factory.mktemp("grow_out")
+    r1 = run(RunConfig(str(grow), str(out), hash_groups=4))
+    assert r1["complete"]
+    for f in files[6:8]:
+        shutil.copy(f, grow)
+    after = {p.partition_id: p.fingerprint
+             for p in plan_partitions_hashed(
+                 sorted(glob.glob(str(grow) + "/*.parquet")), 4)}
+    unchanged = [pid for pid in before if before[pid] == after.get(pid)]
+    changed = [pid for pid in after if after[pid] != before.get(pid)]
+    assert changed and unchanged  # appends touch only some groups
+    r2 = run(RunConfig(str(grow), str(out), hash_groups=4))
+    assert r2["complete"]
+    assert r2["partitions_skipped"] == len(unchanged)
+    assert r2["partitions_done_now"] == len(changed)
+    # all 8 files' rows present exactly once
+    labels = _labels(str(out))
+    import pyarrow.parquet as pq2
+    n_expected = sum(pq2.read_metadata(f).num_rows for f in files[:8])
+    assert len(labels) == n_expected
