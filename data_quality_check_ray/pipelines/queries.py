@@ -475,6 +475,146 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (jac >= 0.8) over
+    documents — the brute-exact dedup variant (Broder resemblance).
+
+    Shape: vectorized shingling -> distinct (shingle, doc) rows ->
+    groupby(shingle) pair expansion -> groupby(pair) intersection counts ->
+    jaccard against broadcast set sizes.  At 10^12 docs the pair expansion
+    must be prefiltered by MinHash-LSH buckets (stages/dedup.minhash_dedup)
+    — here it is exact so the DuckDB oracle can verify it."""
+    import ray
+
+    from ..functions.segments import list_to_numpy_segments, row_ids_from_offsets
+    from ..functions.textstats import as_single_array
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingles(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(pc.cast(as_single_array(b["text"]), pa.large_string()), "")
+        )
+        words = pc.split_pattern(as_single_array(texts), " ")  # SQL string_split parity
+        wvals, woff = list_to_numpy_segments(words)
+        n = len(woff) - 1
+        if len(wvals) < 3:
+            return pa.table({"sh": pa.array([], type=pa.large_string()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        row_ids = row_ids_from_offsets(woff)
+        w0 = wvals.slice(0, len(wvals) - 2)
+        w1 = wvals.slice(1, len(wvals) - 2)
+        w2 = wvals.slice(2, len(wvals) - 2)
+        sh = pc.binary_join_element_wise(
+            w0, w1, w2, pa.scalar(" ", pa.large_string())
+        )
+        valid = row_ids[:-2] == row_ids[2:]
+        docs = b["doc_id"].to_numpy(zero_copy_only=False)[row_ids[:-2][valid]]
+        sh = sh.filter(pa.array(valid))
+        # distinct (doc, shingle) within the batch via packed sort on codes
+        dct = as_single_array(sh).dictionary_encode()
+        codes = np.asarray(dct.indices, dtype=np.int64)
+        base = codes.max() + 1 if len(codes) else 1
+        comb = np.unique(docs * base + codes)
+        return pa.table(
+            {
+                "sh": pc.take(dct.dictionary, pa.array(comb % base)),
+                "doc_id": comb // base,
+            }
+        )
+
+    def hash_shingles(b: pa.Table) -> pa.Table:
+        # 64-bit md5-half id per shingle: grouping on a fixed-width int is
+        # far cheaper than on strings; collision odds for ~1e6 distinct
+        # shingles are ~1e-7 (and only against the oracle, not internally)
+        import hashlib
+
+        ids = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") >> 1
+                for s in b["sh"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return pa.table({"shid": ids, "doc_id": b["doc_id"]})
+
+    # materialize the (shid, doc) rows: they are consumed twice (sizes +
+    # collect) and are ~16 bytes/shingle — small relative to the corpus
+    sh_rows = (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .map_batches(hash_shingles, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # set sizes per doc (small side: one row per doc) -> broadcast
+    sizes_pdf = sh_rows.groupby("doc_id").count().to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_pdf["doc_id"], sizes_pdf["count()"])))
+
+    # collect doc lists per shingle with a mergeable aggregate (ONE hash
+    # aggregate instead of per-group map_groups calls), then expand pairs
+    # vectorized over the collected rows
+    from ray.data.aggregate import AggregateFn
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        accumulate_row=lambda acc, row: (acc.append(row["doc_id"]) or acc),
+        merge=lambda a, b: a + b,
+        name="docs",
+    )
+    collected = sh_rows.groupby("shid").aggregate(collect)
+
+    def expand_pairs(b: pa.Table) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for docs in b["docs"].to_pylist():
+            if len(docs) < 2:
+                continue
+            ids = np.unique(np.asarray(docs, dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    pair_batches = collected.map_batches(expand_pairs, batch_format="pyarrow")
+
+    # final reduction on the driver: the pair stream is ~16 bytes/pair and
+    # provably small (bounded by shingle co-occurrence); a distributed
+    # 2-key groupby over it costs more in scheduling than the numpy
+    # bincount does in total.  At 10^12 docs prefilter candidates with
+    # MinHash-LSH first (stages/dedup.minhash_dedup) — this query is the
+    # exact-mode variant the DuckDB oracle can verify.
+    sizes = ray.get(sizes_ref)
+    parts = []
+    for t in pair_batches.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(t):
+            parts.append(
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 31)
+                + t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+    if not parts:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "jac": pa.array([], type=pa.float64())})
+    pk, counts = np.unique(np.concatenate(parts), return_counts=True)
+    a = pk >> 31
+    bb = pk & ((1 << 31) - 1)
+    i = counts.astype(np.float64)
+    na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
+    nb = np.array([sizes[int(x)] for x in bb], dtype=np.float64)
+    j = i / (na + nb - i)
+    keep = j >= 0.8
+    return pa.table(
+        {"a": a[keep], "b": bb[keep], "jac": _round_half_away(j[keep], 3)}
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Session windows per user (30-min inactivity gap) — the streaming
     sessionization recast as groupby(key).map_groups over ts-sorted groups
@@ -647,6 +787,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "user_sessions": q_user_sessions,
     "embed_dup_pairs": q_embed_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "priority_revenue": q_priority_revenue,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     # rows-only (model / sketch / approximation based)
@@ -763,6 +904,23 @@ ORACLE_SQL = {
                count(*) FILTER (gap IS NULL OR gap > 1800) AS n_sessions,
                count(*) AS n_events
         FROM x GROUP BY user_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+             s AS (SELECT DISTINCT doc_id,
+                          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                   FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+             inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                       FROM s x JOIN s y
+                         ON x.sh = y.sh AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+        SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 3) AS jac
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
     """,
     "embed_dup_pairs": """
         SELECT a.vec_id AS a, b.vec_id AS b,
