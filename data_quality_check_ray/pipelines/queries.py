@@ -410,9 +410,25 @@ def q_priority_revenue(sf_dir: str):
     )
     joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
                        num_buckets=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        # partial combine per batch (guide: pre-aggregate before a groupby)
+        # — the shuffle then carries ~5 rows per block instead of 600k rows
+        df = b.group_by("o_orderpriority").aggregate(
+            [("disc_cents", "sum"), ("disc_cents", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": df["disc_cents_sum"],
+                "cnt": df["disc_cents_count"],
+            }
+        )
+
     return (
-        joined.groupby("o_orderpriority")
-        .aggregate(_agg_count("n_items"), _agg_sum("disc_cents", "revenue_cents"))
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(_agg_sum("cnt", "n_items"), _agg_sum("cents", "revenue_cents"))
     )
 
 

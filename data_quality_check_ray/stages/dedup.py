@@ -212,16 +212,45 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: band_rows(b, text_col, id_col), batch_format="pyarrow"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+    def combine_key(b: pa.Table) -> pa.Table:
+        # one int64 bucket key = band_id in the low bits of the band hash
+        key = (
+            b["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * np.int64(NUM_BANDS)
+            + b["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"bucket": key, "doc_id": b["doc_id"]})
+
+    from ray.data.aggregate import AggregateFn
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        accumulate_row=lambda acc, row: (acc.append(row["doc_id"]) or acc),
+        merge=lambda a, b: a + b,
+        name="docs",
+    )
+    collected = (
+        bands.map_batches(combine_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(collect)
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for docs in b["docs"].to_pylist():
+            ids = np.unique(np.asarray(docs, dtype=np.int64))
+            if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
     pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        collected.map_batches(expand, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates()
     )

@@ -42,28 +42,54 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = DEFAULT_BUCKETS,
     left's, clashes suffixed).  Shuffle volume = the two projected sides,
     once.
     """
-    def tag(side: str, key_col: str):
+    # one unified schema for both sides (absent columns null-padded):
+    # schema-stable blocks keep the union + hash shuffle on the arrow fast
+    # path — mixed schemas fall back to slow row handling
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    rk = right_key or key
+    lcols = list(lschema.names)
+    rcols = [key if c == rk else c for c in rschema.names]
+    rcols_out = [c if c == key or c not in lcols else c + suffix for c in rcols]
+    all_cols = lcols + [c for c in rcols_out if c != key]
+    types: dict[str, pa.DataType] = {}
+    for n, t in zip(lschema.names, lschema.types):
+        types[n] = t
+    for n, t in zip(rcols_out, rschema.types):
+        types.setdefault(n, t)
+
+    def tag(side: str, key_col: str, rename: list[str] | None):
         def f(b: pa.Table) -> pa.Table:
-            if key_col != key:
-                b = b.rename_columns(
-                    [key if c == key_col else c for c in b.column_names]
-                )
-            keys = b[key].to_numpy(zero_copy_only=False)
-            b = b.append_column("__bucket", pa.array(_bucket_of(keys, num_buckets)))
-            return b.append_column("__side", pa.array(np.full(len(b), side)))
+            if rename:
+                b = b.rename_columns(rename)
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in b.column_names:
+                    arrays.append(b[c].combine_chunks())
+                else:
+                    arrays.append(pa.nulls(len(b), types[c]))
+            out = pa.table(dict(zip(names, arrays)))
+            keys = out[key].to_numpy(zero_copy_only=False)
+            out = out.append_column("__bucket", pa.array(_bucket_of(keys, num_buckets)))
+            return out.append_column(
+                "__side", pa.array(np.full(len(b), side == "l"), type=pa.bool_())
+            )
         return f
 
-    both = left_ds.map_batches(tag("l", key), batch_format="pyarrow").union(
-        right_ds.map_batches(tag("r", right_key or key), batch_format="pyarrow")
+    both = left_ds.map_batches(tag("l", key, None), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r", rk, rcols_out), batch_format="pyarrow")
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
-        r = g[g["__side"] == "r"].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        is_l = g["__side"].to_numpy()
+        l = g[is_l].drop(columns=["__side", "__bucket"])
+        r = g[~is_l].drop(columns=["__side", "__bucket"])
+        l = l[[c for c in lcols]]
+        r = r[[c for c in rcols_out]]
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame()
-        out = l.merge(r, on=key, how=how, suffixes=("", suffix))
-        return out
+        return l.merge(r, on=key, how=how)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
