@@ -284,9 +284,12 @@ def q_props_valid(sf_dir: str):
                 v = json.loads(s) if s is not None else None
             except (TypeError, ValueError):
                 v = None
-            if isinstance(v, dict) and isinstance(v.get("k"), int):
+            k = v.get("k") if isinstance(v, dict) else None
+            # exclude bools (a Python int subclass) and negatives: the
+            # oracle's json_type check is 'UBIGINT' = non-negative integer
+            if isinstance(k, int) and not isinstance(k, bool) and k >= 0:
                 ok += 1
-                if v["k"] > 50:
+                if k > 50:
                     k_pos += 1
         return pa.table({"ok": [ok], "k_gt_50": [k_pos]})
 
@@ -581,24 +584,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
     collected = sh_rows.groupby("shid").aggregate(collect)
 
-    def expand_pairs(b: pa.Table) -> pa.Table:
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        for docs in b["docs"].to_pylist():
-            if len(docs) < 2:
-                continue
-            ids = np.unique(np.asarray(docs, dtype=np.int64))
-            if len(ids) < 2:
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+    from ..stages.dedup import expand_doc_pairs
 
-    pair_batches = collected.map_batches(expand_pairs, batch_format="pyarrow")
+    pair_batches = collected.map_batches(
+        lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=None),
+        batch_format="pyarrow",
+    )
 
     # final reduction on the driver: the pair stream is ~16 bytes/pair and
     # provably small (bounded by shingle co-occurrence); a distributed

@@ -41,6 +41,10 @@ class RunConfig:
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     files_per_partition: int = 4
     max_partitions: int | None = None  # for tests: stop early (simulated kill)
+    #: remove output dirs of partitions no longer in the current plan
+    #: (input shrank or regrouped); off by default — never delete user
+    #: data implicitly
+    clean_stale: bool = False
     #: >0 => append-stable hashed grouping with this many groups (an input
     #: dir that GROWS between runs only reprocesses groups that gained
     #: files); 0 => contiguous grouping by files_per_partition
@@ -57,6 +61,8 @@ def _run_partition(p: Partition, cfg: RunConfig) -> dict:
     tmp = os.path.join(cfg.output_dir, f".tmp-{p.partition_id}")
     final = os.path.join(cfg.output_dir, f"part-{p.partition_id}")
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)  # write_parquet creates no dir for a 0-row dataset;
+    # pre-creating keeps the atomic rename valid for empty partitions
     ds.write_parquet(tmp)
     if os.path.exists(final):
         shutil.rmtree(final)
@@ -92,9 +98,27 @@ def run(cfg: RunConfig) -> dict:
         )
         done += 1
 
+    # surface (and optionally remove) output dirs from a previous plan that
+    # the current input no longer produces — otherwise a shrunk/regrouped
+    # input leaves stale part-* dirs mixed into the output
+    planned_ids = {p.partition_id for p in parts}
+    stale = sorted(
+        os.path.basename(d)[5:]
+        for d in glob.glob(os.path.join(cfg.output_dir, "part-*"))
+        if os.path.basename(d)[5:] not in planned_ids
+    )
+    if cfg.clean_stale:
+        for pid in stale:
+            shutil.rmtree(os.path.join(cfg.output_dir, f"part-{pid}"), ignore_errors=True)
+            lineage = os.path.join(cfg.output_dir, "_lineage", f"part-{pid}.parquet")
+            if os.path.exists(lineage):
+                os.remove(lineage)
+
     return {
         "partitions_total": len(parts),
         "partitions_done_now": done,
         "partitions_skipped": skipped,
+        "stale_partitions": stale,
+        "stale_removed": bool(cfg.clean_stale and stale),
         "complete": skipped + done == len(parts),
     }

@@ -36,6 +36,28 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _partial_topk_idx(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic batch-local top-k indices by (sim DESC, id ASC).
+
+    argpartition alone keeps an ARBITRARY subset of sim-tied candidates at
+    the kth boundary, which can diverge from the oracle's deterministic
+    tie-break when duplicates exist — lexsort makes the partial exact."""
+    order = np.lexsort((ids, -sims))
+    return order[: min(k, len(ids))]
+
+
+def _final_topk_fn(k: int):
+    """Grouped final top-k: global (sim DESC, vec_id ASC) + rank column."""
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return final_topk
+
+
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      exclude_ids: set | None = None, dtype=np.float32):
@@ -64,13 +86,12 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                              "vec_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})
         sims = _normalize(emb) @ qmat.T  # (n, Q)
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
         out_q, out_id, out_sim = [], [], []
         for j in range(qmat.shape[0]):
-            out_q.append(np.full(kk, qids[j]))
-            out_id.append(ids[top[:, j]])
-            out_sim.append(sims[top[:, j], j].astype(np.float64))
+            top = _partial_topk_idx(sims[:, j], ids, k)
+            out_q.append(np.full(len(top), qids[j]))
+            out_id.append(ids[top])
+            out_sim.append(sims[top, j].astype(np.float64))
         return pa.table({
             "query_id": np.concatenate(out_q),
             "vec_id": np.concatenate(out_id),
@@ -78,14 +99,9 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -135,10 +151,10 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarr
             if not mask.any():
                 continue
             sims = emb[mask] @ qmat[j]
-            kk = min(k, int(mask.sum()))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.append(np.full(kk, qids[j]))
-            out_id.append(ids[mask][top])
+            mids = ids[mask]
+            top = _partial_topk_idx(sims, mids, k)
+            out_q.append(np.full(len(top), qids[j]))
+            out_id.append(mids[top])
             out_sim.append(sims[top].astype(np.float64))
         if not out_q:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
@@ -151,14 +167,9 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarr
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -206,13 +217,12 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                              "vec_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})
         sims = emb @ qmat.T
-        kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
         out_q, out_id, out_sim = [], [], []
         for j in range(qmat.shape[0]):
-            out_q.append(np.full(kk, qids[j]))
-            out_id.append(ids[top[:, j]])
-            out_sim.append(sims[top[:, j], j].astype(np.float64))
+            top = _partial_topk_idx(sims[:, j], ids, k)
+            out_q.append(np.full(len(top), qids[j]))
+            out_id.append(ids[top])
+            out_sim.append(sims[top, j].astype(np.float64))
         return pa.table({
             "query_id": np.concatenate(out_q),
             "vec_id": np.concatenate(out_id),
@@ -220,11 +230,6 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _final_topk_fn(k), batch_format="pandas"
+    )

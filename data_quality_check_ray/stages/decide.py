@@ -40,8 +40,12 @@ def decide_stage(batch: pa.Table, rules: RuleConfig = RuleConfig()) -> pa.Table:
     from ..functions.rules import DEFAULT_RULES, evaluate_rules
 
     n = len(batch)
-    lang_in_target = np.array(
-        [p in ALLOWED_LANGS for p in batch["lang_pred"].to_pylist()]
+    # vectorized + dtype-stable for 0-row batches (a Python list
+    # comprehension would yield a float64 empty array and break ~mask)
+    lang_in_target = (
+        pc.is_in(batch["lang_pred"], value_set=pa.array(list(ALLOWED_LANGS)))
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
     )
 
     def get_signal(name: str) -> np.ndarray:

@@ -154,9 +154,16 @@ def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
 
 
 def band_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """Explode each doc into NUM_BANDS (band_id, band_hash, doc_id) rows."""
+    """Explode each doc into NUM_BANDS (band_id, band_hash, doc_id) rows.
+
+    Docs with an empty shingle set (under k words) emit NO band rows:
+    their all-max sentinel signatures would otherwise collide with each
+    other in every band and cluster unrelated short docs."""
     sig = minhash_signatures(batch[text_col])
     ids = batch[id_col].to_numpy(zero_copy_only=False)
+    nonempty = ~(sig == np.iinfo(np.uint64).max).all(axis=1)
+    sig = sig[nonempty]
+    ids = ids[nonempty]
     n = len(ids)
     rows_per = NUM_PERM // NUM_BANDS
     band_ids = np.tile(np.arange(NUM_BANDS, dtype=np.int32), n)
@@ -178,17 +185,40 @@ def band_rows(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 
 def jaccard_scalar(a: str, b: str, k: int = 3) -> float:
-    """Exact word-k-shingle Jaccard (verification step)."""
+    """Exact word-k-shingle Jaccard (verification step).
+
+    Docs with no shingles (fewer than k words) are never near-duplicates
+    of anything — returning 1.0 for two empty sets would falsely cluster
+    unrelated short docs."""
     def sh(t):
         w = [x.lower() for x in t.split()]
         return set(tuple(w[i : i + k]) for i in range(len(w) - k + 1))
 
     sa, sb = sh(a), sh(b)
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def expand_doc_pairs(doc_lists, cap: int | None = None) -> pa.Table:
+    """Shared pair expansion: iterable of doc-id lists -> (a, b) table of
+    unique unordered pairs per list (a < b).  ``cap`` skips degenerate
+    giant buckets (None = exact mode for oracle-checked paths)."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for docs in doc_lists:
+        if len(docs) < 2:
+            continue
+        ids = np.unique(np.asarray(docs, dtype=np.int64))
+        if len(ids) < 2 or (cap is not None and len(ids) > cap):
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -235,22 +265,11 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .aggregate(collect)
     )
 
-    def expand(b: pa.Table) -> pa.Table:
-        out_a, out_b = [], []
-        for docs in b["docs"].to_pylist():
-            ids = np.unique(np.asarray(docs, dtype=np.int64))
-            if len(ids) < 2 or len(ids) > 200:  # skip degenerate giant buckets
-                continue
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
-
     pairs = (
-        collected.map_batches(expand, batch_format="pyarrow")
+        collected.map_batches(
+            lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=200),
+            batch_format="pyarrow",
+        )
         .to_pandas()
         .drop_duplicates()
     )
@@ -316,16 +335,19 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def connected_components_distributed(edges_ds, max_rounds: int = 6):
+def connected_components_distributed(edges_ds, max_rounds: int = 8):
     """Edge Dataset (a:int64, b:int64) -> Dataset (node, label) where label
     is the min node id of the connected component.
 
     Iterative min-label propagation: each round, every node takes the min
     of its own label and its neighbors' labels (one groupby-join + one
     groupby-min shuffle per round; converges in O(component diameter)
-    rounds — near-dup clusters are shallow, so ``max_rounds=6`` covers
-    them).  This is the ray_guide.md alternative to driver-side union-find
-    when the candidate-pair set is NOT provably small."""
+    rounds).  Convergence is verified: labels decrease monotonically, so an
+    unchanged label SUM means a fixed point — if ``max_rounds`` is
+    exhausted while labels are still changing, a RuntimeError is raised
+    instead of silently returning split components.  This is the
+    ray_guide.md alternative to driver-side union-find when the
+    candidate-pair set is NOT provably small."""
     import ray.data as rd
 
     def to_nodes(b: pa.Table) -> pa.Table:
@@ -359,6 +381,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 6):
 
     edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
 
+    prev_sum: int | None = None
     for _ in range(max_rounds):
         # group each node's incident edges with its current label; spread
         # the group-min label to every neighbor x
@@ -398,8 +421,17 @@ def connected_components_distributed(edges_ds, max_rounds: int = 6):
             .map_batches(
                 lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
             )
+            .materialize()
         )
-    return labels
+        # labels only ever decrease -> equal sums == fixed point reached
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds "
+        "(component diameter exceeds the round budget; raise max_rounds)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -449,17 +481,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     hashed = ds.map_batches(add, batch_format="pyarrow")
-    reps = hashed.groupby("simhash").min("doc_id")
-    # broadcast tiny rep table back over the hashed rows
-    import ray
 
-    rep_pdf = reps.to_pandas()
-    rep_ref = ray.put(dict(zip(rep_pdf["simhash"], rep_pdf["min(doc_id)"])))
+    # rep assignment stays distributed (groupby-min then a bucketed hash
+    # join back on simhash): a driver-side simhash->rep dict would be
+    # O(distinct docs) — a corpus-sized broadcast at 10^9+ docs
+    from .joins import hash_join
 
-    def assign(b: pa.Table) -> pa.Table:
-        m = ray.get(rep_ref)
-        sh = b["simhash"].to_numpy(zero_copy_only=False)
-        reps_np = np.array([m[int(s)] for s in sh], dtype=np.int64)
-        return b.append_column("rep_id", pa.array(reps_np))
-
-    return hashed.map_batches(assign, batch_format="pyarrow")
+    reps = hashed.groupby("simhash").min("doc_id").map_batches(
+        lambda t: t.rename_columns(["simhash", "rep_id"]), batch_format="pyarrow"
+    )
+    return hash_join(hashed, reps, key="simhash", num_buckets=16)

@@ -117,14 +117,15 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].drop(columns="__side").sort_values(ts, kind="mergesort")
-        r = g[g["__side"] == "r"].drop(columns="__side").sort_values(ts, kind="mergesort")
-        r = r[[c for c in rcols if c != key]].rename(
-            columns={c: c + suffix for c in rcols if c not in (key,)}
-        )
+        # select padded union columns BY NAME (an all-null left payload
+        # column must survive; dropna(axis=1) would silently remove it and
+        # desynchronize block schemas across groups)
+        l = g[g["__side"] == "l"][lcols].sort_values(ts, kind="mergesort")
+        r = g[g["__side"] == "r"][[c for c in rcols if c != key]].rename(
+            columns={c: c + suffix for c in rcols if c != key}
+        ).sort_values(ts + suffix, kind="mergesort")
         if l.empty:
             return pd.DataFrame()
-        l = l.dropna(axis=1, how="all")
         if r.empty:
             for c in r.columns:
                 l[c] = None

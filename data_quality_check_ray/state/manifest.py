@@ -24,10 +24,15 @@ class Partition:
 
 
 def _fingerprint(group: tuple[str, ...]) -> str:
+    # name + size + mtime: a rewrite that keeps the byte size still
+    # invalidates the partition (the reference's mtime-map behavior,
+    # config-producer-proto/src/main.rs:216-241)
     h = hashlib.md5()
     for f in group:
+        st = os.stat(f)
         h.update(f.encode())
-        h.update(str(os.path.getsize(f)).encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()
 
 

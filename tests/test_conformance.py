@@ -83,3 +83,16 @@ def test_first_failing_reason_order():
     assert _reason(t) == "conform:null_url"
     t = _page(warc_ts=None, lang="xx")
     assert _reason(t) == "conform:null_ts"
+
+
+def test_empty_batch_flows_through_decision(quiet_data_context):
+    """Regression: a 0-row batch must pass through the full stage chain
+    (empty blocks occur in real pipelines)."""
+    from data_quality_check_ray.pipelines.quality import make_post_stage, pre_stage
+    from data_quality_check_ray.config import PipelineConfig
+    from data_quality_check_ray.stages.models import QualityModelStage
+
+    t = synth.generate_table(0)
+    out = QualityModelStage()(pre_stage(t))
+    assert out.num_rows == 0
+    assert "keep" in out.column_names

@@ -111,3 +111,25 @@ def test_distributed_connected_components(quiet_data_context):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert out == expect
+
+
+def test_short_docs_are_not_false_minhash_dups(quiet_data_context):
+    """Regression: docs with <3 words have empty shingle sets; they must
+    never be clustered together (review finding: all-max sentinel
+    signatures collided in every band)."""
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "red blue"},
+        {"doc_id": 1, "text": "quantum theory"},
+        {"doc_id": 2, "text": "x"},
+        {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog tonight"},
+    ]
+    out = (
+        dedup.minhash_dedup(rd.from_arrow(pa.Table.from_pylist(rows)), threshold=0.5)
+        .to_pandas().set_index("doc_id")
+    )
+    assert not out.loc[0, "is_dup"] and not out.loc[1, "is_dup"] and not out.loc[2, "is_dup"]
+    assert out.loc[4, "rep_id"] == 3  # real near-dups still found
+    assert dedup.jaccard_scalar("red blue", "quantum theory") == 0.0
