@@ -120,3 +120,19 @@ def test_hashed_partitions_are_append_stable(pages_dir, tmp_path_factory, quiet_
     import pyarrow.parquet as pq2
     n_expected = sum(pq2.read_metadata(f).num_rows for f in files[:8])
     assert len(labels) == n_expected
+
+
+def test_empty_input_file_partition_completes(tmp_path_factory, quiet_data_context):
+    """Regression: write_parquet creates no dir for a 0-row dataset; the
+    runner must still finalize (atomic rename) and mark the partition."""
+    import pyarrow.parquet as pq2
+
+    from data_quality_check_ray.sources import synth
+
+    d = tmp_path_factory.mktemp("empty_in")
+    synth.write_pages_parquet(str(d), 200, num_files=1)
+    pq2.write_table(synth.generate_table(0), str(d / "part-zzz-empty.parquet"))
+    out = tmp_path_factory.mktemp("empty_out")
+    r = run(RunConfig(str(d), str(out), files_per_partition=1))
+    assert r["complete"] and r["partitions_total"] == 2
+    assert len(_labels(str(out))) == 200
