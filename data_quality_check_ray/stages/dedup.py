@@ -471,7 +471,8 @@ def simhash64(texts: pa.Array) -> np.ndarray:
     return out
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  broadcast_threshold: int = 1_000_000):
     """-> Dataset(doc_id, simhash, rep_id): rows sharing a simhash get the
     min doc_id as representative (exact-simhash collision dedup)."""
     def add(b: pa.Table) -> pa.Table:
@@ -482,12 +483,29 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     hashed = ds.map_batches(add, batch_format="pyarrow")
 
-    # rep assignment stays distributed (groupby-min then a bucketed hash
-    # join back on simhash): a driver-side simhash->rep dict would be
-    # O(distinct docs) — a corpus-sized broadcast at 10^9+ docs
+    # rep assignment: groupby-min, then either broadcast the rep table
+    # (small corpora — one object-store put) or a bucketed hash join
+    # (at 10^9+ docs the rep table is corpus-sized; a driver dict would
+    # OOM, so stay distributed)
     from .joins import hash_join
 
     reps = hashed.groupby("simhash").min("doc_id").map_batches(
         lambda t: t.rename_columns(["simhash", "rep_id"]), batch_format="pyarrow"
-    )
-    return hash_join(hashed, reps, key="simhash", num_buckets=16)
+    ).materialize()
+
+    if reps.count() <= broadcast_threshold:
+        import ray
+
+        rep_pdf = reps.to_pandas()
+        rep_ref = ray.put(dict(zip(rep_pdf["simhash"], rep_pdf["rep_id"])))
+
+        def assign(b: pa.Table) -> pa.Table:
+            m = ray.get(rep_ref)
+            sh = b["simhash"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "rep_id",
+                pa.array(np.array([m[int(s)] for s in sh], dtype=np.int64)),
+            )
+
+        return hashed.map_batches(assign, batch_format="pyarrow")
+    return hash_join(hashed, reps, key="simhash", num_buckets=64)
