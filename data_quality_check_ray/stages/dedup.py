@@ -481,7 +481,9 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "doc_id": b[id_col], "simhash": sh,
         })
 
-    hashed = ds.map_batches(add, batch_format="pyarrow")
+    # materialize the (doc_id, simhash) digests: ~16 bytes/doc, consumed
+    # twice (rep groupby + assignment) — avoids re-hashing the corpus
+    hashed = ds.map_batches(add, batch_format="pyarrow").materialize()
 
     # rep assignment: groupby-min, then either broadcast the rep table
     # (small corpora — one object-store put) or a bucketed hash join
