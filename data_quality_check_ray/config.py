@@ -17,9 +17,10 @@ class RuleConfig:
     """Thresholds for the heuristic quality gates (Gopher/C4-style).
 
     Each threshold pairs with a drop reason ``rule:<name>``; the decision
-    stage applies them in the fixed order given by ``decide.REASON_ORDER``
-    (first failing rule wins — the reference's fail-fast ordering,
-    dynamic-message/src/lib.rs:32-36, recorded instead of raised).
+    stage applies them in the registry order of
+    ``functions.rules.DEFAULT_RULES`` (first failing rule wins — the
+    reference's fail-fast ordering, dynamic-message/src/lib.rs:32-36,
+    recorded instead of raised).
     """
 
     min_chars: int = 50
@@ -44,7 +45,6 @@ class PipelineConfig:
     rules: RuleConfig = field(default_factory=RuleConfig)
     # batch sizing: extraction sees heavy binary html rows -> smaller batches
     extract_batch_size: int = 1024
-    stats_batch_size: int = 2048
     model_batch_size: int = 2048
     # the fused model stage runs as ONE autoscaling actor pool (min, max):
     # min=1 so the pool never starves the read/write stages of CPUs on a

@@ -22,8 +22,6 @@ from ..schema import conforming_table
 from ..stages.conformance import conformance_stage
 from ..stages.decide import decide_stage
 from ..stages.extract import extract_stage
-from ..stages.heuristics import heuristics_stage
-from ..stages.models import LangIdStage, PerplexityStage
 from ..stages.scrub import scrub_stage
 
 #: heuristic signal columns packed into the ``quality`` struct of the output

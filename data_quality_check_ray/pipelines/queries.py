@@ -503,8 +503,6 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     jaccard against broadcast set sizes.  At 10^12 docs the pair expansion
     must be prefiltered by MinHash-LSH buckets (stages/dedup.minhash_dedup)
     — here it is exact so the DuckDB oracle can verify it."""
-    import ray
-
     from ..functions.segments import list_to_numpy_segments, row_ids_from_offsets
     from ..functions.textstats import as_single_array
 
@@ -534,14 +532,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         # distinct (doc, shingle) within the batch via packed sort on codes
         dct = as_single_array(sh).dictionary_encode()
         codes = np.asarray(dct.indices, dtype=np.int64)
-        base = codes.max() + 1 if len(codes) else 1
-        comb = np.unique(docs * base + codes)
-        return pa.table(
-            {
-                "sh": pc.take(dct.dictionary, pa.array(comb % base)),
-                "doc_id": comb // base,
-            }
-        )
+        base = np.int64(codes.max() + 1) if len(codes) else np.int64(1)
+        if len(docs) and int(docs.max()) < (1 << 62) // int(base):
+            comb = np.unique(docs * base + codes)
+            sh_out = pc.take(dct.dictionary, pa.array(comb % base))
+            doc_out = comb // base
+        else:  # packing would overflow int64: exact 2-column unique
+            pairs_arr = np.unique(np.stack([docs, codes], axis=1), axis=0)
+            sh_out = pc.take(dct.dictionary, pa.array(pairs_arr[:, 1]))
+            doc_out = pairs_arr[:, 0]
+        return pa.table({"sh": sh_out, "doc_id": doc_out})
 
     def hash_shingles(b: pa.Table) -> pa.Table:
         # 64-bit md5-half id per shingle: grouping on a fixed-width int is
@@ -567,9 +567,10 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         .materialize()
     )
 
-    # set sizes per doc (small side: one row per doc) -> broadcast
+    # set sizes per doc (small side: one row per doc); consumed on the
+    # driver only, so a plain dict suffices — no object-store put
     sizes_pdf = sh_rows.groupby("doc_id").count().to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_pdf["doc_id"], sizes_pdf["count()"])))
+    sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["count()"]))
 
     # collect doc lists per shingle with a mergeable aggregate (ONE hash
     # aggregate instead of per-group map_groups calls), then expand pairs
@@ -597,21 +598,30 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     # bincount does in total.  At 10^12 docs prefilter candidates with
     # MinHash-LSH first (stages/dedup.minhash_dedup) — this query is the
     # exact-mode variant the DuckDB oracle can verify.
-    sizes = ray.get(sizes_ref)
     parts = []
     for t in pair_batches.iter_batches(batch_size=None, batch_format="pyarrow"):
         if len(t):
             parts.append(
-                t["a"].to_numpy(zero_copy_only=False).astype(np.int64) * (1 << 31)
-                + t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+                np.stack(
+                    [
+                        t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    ],
+                    axis=1,
+                )
             )
     if not parts:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64()),
                          "jac": pa.array([], type=pa.float64())})
-    pk, counts = np.unique(np.concatenate(parts), return_counts=True)
-    a = pk >> 31
-    bb = pk & ((1 << 31) - 1)
+    allp = np.concatenate(parts)
+    if allp.max() < (1 << 31):  # packed fast path
+        pk, counts = np.unique(allp[:, 0] * (1 << 31) + allp[:, 1], return_counts=True)
+        a = pk >> 31
+        bb = pk & ((1 << 31) - 1)
+    else:  # doc ids beyond 2^31: exact 2-column unique (no silent wrap)
+        upairs, counts = np.unique(allp, axis=0, return_counts=True)
+        a, bb = upairs[:, 0], upairs[:, 1]
     i = counts.astype(np.float64)
     na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
     nb = np.array([sizes[int(x)] for x in bb], dtype=np.float64)
@@ -748,28 +758,12 @@ def q_simhash_dedup(sf_dir: str):
 
 def q_host_topk(sf_dir: str):
     """Top-5 hosts by page count over synthesized pages (salted two-phase
-    groupby: partial counts per (host, salt) then final merge per host —
-    the giant-host skew pattern, SURVEY.md §4.2)."""
+    groupby — the giant-host skew pattern, SURVEY.md §4.2; implementation
+    shared with pipelines/reports.host_counts)."""
     from ..sources.pages import pages_from_documents
+    from .reports import host_counts
 
-    pages = pages_from_documents(sf_dir)
-
-    def hostify(b: pa.Table) -> pa.Table:
-        host = pc.extract_regex(b["url"], r"https://(?P<h>[^/]+)/")
-        h = pc.struct_field(host, "h")
-        salt = pc.cast(
-            pc.bit_wise_and(pc.cast(pc.binary_length(b["url"]), pa.int64()), 7),
-            pa.int64(),
-        )
-        return pa.table({"host": h, "salt": salt})
-
-    partial = (
-        pages.map_batches(hostify, batch_format="pyarrow")
-        .groupby(["host", "salt"])
-        .aggregate(_agg_count("c"))
-    )
-    final = partial.groupby("host").aggregate(_agg_sum("c", "n_pages"))
-    return final.sort(["n_pages", "host"], descending=[True, False]).limit(5)
+    return host_counts(pages_from_documents(sf_dir), top_k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -812,7 +806,12 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang
     """,
     "token_counts": """
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        -- whitespace-run split (Python str.split semantics; RE2 \\s is
+        -- ASCII whitespace, which covers this corpus)
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   AS n_tokens,
                len(regexp_extract_all(text,
                    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
                    AS n_tokens_bpe
@@ -830,12 +829,23 @@ ORACLE_SQL = {
         FROM documents
     """,
     "quality_stats": """
+        -- whitespace-run semantics: n_words from \\s+ split; total word
+        -- chars = length with ALL whitespace removed (robust to multiple
+        -- spaces/tabs/newlines, unlike a single-space split formula)
+        WITH x AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                       AS n_words
+            FROM documents)
         SELECT doc_id,
                length(text) AS n_chars,
-               len(string_split(text, ' ')) AS n_words,
-               round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS mean_word_len
-        FROM documents
+               n_words,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE round(CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                                    AS DOUBLE) / n_words, 4) END
+                   AS mean_word_len
+        FROM x
     """,
     "pii_scrub_documents": """
         SELECT doc_id,

@@ -107,12 +107,15 @@ def run(cfg: RunConfig) -> dict:
         for d in glob.glob(os.path.join(cfg.output_dir, "part-*"))
         if os.path.basename(d)[5:] not in planned_ids
     )
-    if cfg.clean_stale:
+    if cfg.clean_stale and stale:
         for pid in stale:
             shutil.rmtree(os.path.join(cfg.output_dir, f"part-{pid}"), ignore_errors=True)
             lineage = os.path.join(cfg.output_dir, "_lineage", f"part-{pid}.parquet")
             if os.path.exists(lineage):
                 os.remove(lineage)
+        # drop their manifest entries too: a surviving 'done' entry would
+        # match a later replan's fingerprint and silently skip real work
+        manifest.remove(stale)
 
     return {
         "partitions_total": len(parts),

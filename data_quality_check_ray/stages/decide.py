@@ -15,24 +15,9 @@ import pyarrow.compute as pc
 from ..config import RuleConfig
 from ..schema import ALLOWED_LANGS
 
-#: fixed evaluation order — conformance, heuristics, models, toxicity
-REASON_ORDER = (
-    "conform",  # handled via conform_reason column (its own sub-order)
-    "rule:too_short",
-    "rule:too_long",
-    "rule:too_few_words",
-    "rule:word_length",
-    "rule:symbol_ratio",
-    "rule:non_alpha",
-    "rule:stopword",
-    "rule:repetition",
-    "rule:bullets",
-    "rule:ellipsis",
-    "langid:not_target",
-    "langid:low_confidence",
-    "ppl:high",
-    "tox:term",
-)
+# evaluation order: conformance first (conform_reason column carries its
+# own sub-order), then the registry order of functions/rules.DEFAULT_RULES
+# — the registry is the single source of truth, no duplicated list here.
 
 
 def decide_stage(batch: pa.Table, rules: RuleConfig = RuleConfig()) -> pa.Table:

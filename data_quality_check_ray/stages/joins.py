@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DEFAULT_BUCKETS = 64
 
@@ -104,32 +105,60 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
     assumption is that one key group fits a worker (salt hot keys
     otherwise).
     """
-    def tag(side: str, cols: list[str]):
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    lcols = list(lschema.names)
+    rcols = [key, ts] + right_cols
+    rtypes = dict(zip(rschema.names, rschema.types))
+    # unified typed schema: left columns + suffixed right columns; typed
+    # null-padding keeps the union schema-stable (mixed schemas wobble and
+    # a NaN-padded int64 column would degrade to float64 in pandas)
+    r_out = [c + suffix for c in rcols if c != key]
+    types: dict[str, pa.DataType] = dict(zip(lschema.names, lschema.types))
+    for c in rcols:
+        if c != key:
+            types[c + suffix] = rtypes[c]
+    all_cols = lcols + r_out
+
+    def tag(side: bool, present: dict[str, str]):
         def f(b: pa.Table) -> pa.Table:
-            b = b.select(cols)
-            return b.append_column("__side", pa.array(np.full(len(b), side)))
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                src = present.get(c)
+                if src is not None and src in b.column_names:
+                    arrays.append(b[src].combine_chunks())
+                else:
+                    arrays.append(pa.nulls(len(b), types[c]))
+            out = pa.table(dict(zip(names, arrays)))
+            # the key column must carry real values on BOTH sides for the
+            # groupby (the right side's mapping doesn't include it)
+            out = out.set_column(
+                out.column_names.index(key), key, b[key].combine_chunks()
+            )
+            return out.append_column(
+                "__side", pa.array(np.full(len(b), side), type=pa.bool_())
+            )
         return f
 
-    lcols = [c for c in left_ds.schema().names]
-    rcols = [key, ts] + right_cols
-    both = left_ds.map_batches(tag("l", lcols), batch_format="pyarrow").union(
-        right_ds.map_batches(tag("r", rcols), batch_format="pyarrow")
+    lmap = {c: c for c in lcols}
+    rmap = {c + suffix: c for c in rcols if c != key}
+    both = left_ds.map_batches(tag(True, lmap), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(False, rmap), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # select padded union columns BY NAME (an all-null left payload
-        # column must survive; dropna(axis=1) would silently remove it and
-        # desynchronize block schemas across groups)
-        l = g[g["__side"] == "l"][lcols].sort_values(ts, kind="mergesort")
-        r = g[g["__side"] == "r"][[c for c in rcols if c != key]].rename(
-            columns={c: c + suffix for c in rcols if c != key}
-        ).sort_values(ts + suffix, kind="mergesort")
+    ts_r = ts + suffix
+
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # filter sides in ARROW first: after the split each side's own
+        # columns are null-free, so int64 ids stay int64 through to_pandas
+        is_l = g["__side"]
+        l = g.filter(is_l).select(lcols).to_pandas().sort_values(ts, kind="mergesort")
+        r = g.filter(pc.invert(is_l)).select(r_out).to_pandas().sort_values(
+            ts_r, kind="mergesort"
+        )
         if l.empty:
             return pd.DataFrame()
-        if r.empty:
-            for c in r.columns:
-                l[c] = None
-            return l
-        return pd.merge_asof(l, r, left_on=ts, right_on=ts + suffix)
+        return pd.merge_asof(l, r, left_on=ts, right_on=ts_r)
 
-    return both.groupby(key).map_groups(merge, batch_format="pandas")
+    return both.groupby(key).map_groups(merge, batch_format="pyarrow")

@@ -92,6 +92,19 @@ class Manifest:
         e = self.entries.get(p.partition_id)
         return bool(e and e.get("status") == "done" and e.get("fingerprint") == p.fingerprint)
 
+    def remove(self, partition_ids: list[str]) -> None:
+        """Drop entries (e.g. for cleaned stale partitions) and REWRITE the
+        manifest file — leaving a 'done' entry for a deleted output dir
+        would let a later replan skip it and report complete with missing
+        data."""
+        for pid in partition_ids:
+            self.entries.pop(pid, None)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in self.entries.values():
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self.path)
+
     def mark_done(self, p: Partition, metrics: dict) -> None:
         e = {
             "partition_id": p.partition_id,

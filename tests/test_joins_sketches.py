@@ -97,3 +97,33 @@ def test_approx_distinct_on_dataset(quiet_data_context):
     ds = rd.from_pandas(pd.DataFrame({"user_id": np.arange(5000) % 1234})).repartition(6)
     est = approx_distinct(ds, "user_id")
     assert abs(est - 1234) / 1234 < 0.05
+
+
+def test_asof_preserves_large_int64_ids(quiet_data_context):
+    """Regression: union NaN-padding degraded left int64 columns to
+    float64, corrupting ids >= 2^53."""
+    import ray.data as rd
+
+    big = (1 << 53) + 1234567
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime([100, 200, 300], unit="s"),
+            "event_id": np.array([big, big + 1, big + 2], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts": pd.to_datetime([150], unit="s"),
+            "value": [7.5],
+        }
+    )
+    out = asof_join_grouped(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="user_id", ts="ts", right_cols=["value"],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [big, big + 1, big + 2]  # exact int64
+    assert np.isnan(out.loc[0, "value_asof"])       # before first purchase
+    assert out.loc[1, "value_asof"] == 7.5
+    assert np.isnan(out.loc[2, "value_asof"])       # user 2: empty right side
