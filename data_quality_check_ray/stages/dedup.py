@@ -463,7 +463,9 @@ def simhash64(texts: pa.Array) -> np.ndarray:
     n = len(woff) - 1
     row_ids = row_ids_from_offsets(woff)
     out = np.zeros(n, dtype=np.uint64)
-    # per-bit weighted vote, vectorized over all words x 64 bits via bincount
+    # per-bit weighted vote via bincount (measured FASTER than unpacking a
+    # (words, 64) bit matrix + one segmented reduction — the bit matrix's
+    # memory traffic dominates)
     for bit in range(64):
         votes = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
         tally = np.bincount(row_ids, weights=votes, minlength=n) if len(wh) else np.zeros(n)
