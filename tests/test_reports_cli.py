@@ -66,3 +66,34 @@ def test_validate_one_cli_keep_and_drop():
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r3.returncode == 1
+
+
+def test_host_counts_without_keep_column(quiet_data_context):
+    import ray.data as rd
+
+    pages = rd.from_arrow(synth.generate_table(300))
+    out = host_counts(pages, top_k=3).to_pandas()
+    assert list(out.columns) == ["host", "n_pages"]
+    assert len(out) == 3
+    assert out["n_pages"].is_monotonic_decreasing
+
+
+def test_run_module_cli_end_to_end(tmp_path_factory):
+    """python -m data_quality_check_ray.run in a fresh process (own local
+    ray session) — the `ray job submit` surface."""
+    d = tmp_path_factory.mktemp("cli_in")
+    synth.write_pages_parquet(str(d), 300, num_files=2)
+    out = tmp_path_factory.mktemp("cli_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "data_quality_check_ray.run",
+         "--input", str(d), "--output", str(out),
+         "--num-cpus", "4", "--concurrency", "2", "--files-per-partition", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["complete"] and summary["partitions_total"] == 1
+    import glob as g
+
+    files = g.glob(str(out) + "/part-*/*.parquet")
+    assert files
