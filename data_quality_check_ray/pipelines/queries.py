@@ -809,8 +809,8 @@ ORACLE_SQL = {
         -- whitespace-run split (Python str.split semantics; RE2 \\s is
         -- ASCII whitespace, which covers this corpus)
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) END
                    AS n_tokens,
                len(regexp_extract_all(text,
                    '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
@@ -834,8 +834,8 @@ ORACLE_SQL = {
         -- spaces/tabs/newlines, unlike a single-space split formula)
         WITH x AS (
             SELECT doc_id, text,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) END
                        AS n_words
             FROM documents)
         SELECT doc_id,

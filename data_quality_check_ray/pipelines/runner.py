@@ -108,14 +108,15 @@ def run(cfg: RunConfig) -> dict:
         if os.path.basename(d)[5:] not in planned_ids
     )
     if cfg.clean_stale and stale:
+        # remove the manifest entry BEFORE deleting data: 'not done' for an
+        # existing dir is safe to reprocess, but a surviving 'done' entry
+        # for a deleted dir would let a later replan skip missing output
         for pid in stale:
+            manifest.remove([pid])
             shutil.rmtree(os.path.join(cfg.output_dir, f"part-{pid}"), ignore_errors=True)
             lineage = os.path.join(cfg.output_dir, "_lineage", f"part-{pid}.parquet")
             if os.path.exists(lineage):
                 os.remove(lineage)
-        # drop their manifest entries too: a surviving 'done' entry would
-        # match a later replan's fingerprint and silently skip real work
-        manifest.remove(stale)
 
     return {
         "partitions_total": len(parts),

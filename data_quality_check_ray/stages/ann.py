@@ -41,9 +41,18 @@ def _partial_topk_idx(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
 
     argpartition alone keeps an ARBITRARY subset of sim-tied candidates at
     the kth boundary, which can diverge from the oracle's deterministic
-    tie-break when duplicates exist — lexsort makes the partial exact."""
-    order = np.lexsort((ids, -sims))
-    return order[: min(k, len(ids))]
+    tie-break when duplicates exist.  Hybrid: O(n) argpartition to find
+    the kth similarity, then an exact lexsort over only the >= kth
+    candidates (k + ties rows) — exact without a full per-query sort."""
+    n = len(ids)
+    if n <= k:
+        order = np.lexsort((ids, -sims))
+        return order
+    part = np.argpartition(-sims, k - 1)[:k]
+    kth = sims[part].min()
+    cand = np.flatnonzero(sims >= kth)  # superset of top-k incl. boundary ties
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:k]]
 
 
 def _final_topk_fn(k: int):

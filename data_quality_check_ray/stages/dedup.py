@@ -381,8 +381,12 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
 
     edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
 
+    # max_rounds propagation rounds + ONE verification round: the
+    # sum-equality check can only observe convergence a round late, so
+    # without the extra round a component converging exactly at round
+    # max_rounds would be wrongly rejected
     prev_sum: int | None = None
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):
         # group each node's incident edges with its current label; spread
         # the group-min label to every neighbor x
         def pad_edges(b: pa.Table) -> pa.Table:

@@ -67,7 +67,10 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = DEFAULT_BUCKETS,
             for c in all_cols:
                 names.append(c)
                 if c in b.column_names:
-                    arrays.append(b[c].combine_chunks())
+                    col = b[c].combine_chunks()
+                    if col.type != types[c]:  # e.g. int32 right key vs
+                        col = col.cast(types[c])  # int64 left key
+                    arrays.append(col)
                 else:
                     arrays.append(pa.nulls(len(b), types[c]))
             out = pa.table(dict(zip(names, arrays)))
@@ -82,17 +85,19 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = DEFAULT_BUCKETS,
         right_ds.map_batches(tag("r", rk, rcols_out), batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        is_l = g["__side"].to_numpy()
-        l = g[is_l].drop(columns=["__side", "__bucket"])
-        r = g[~is_l].drop(columns=["__side", "__bucket"])
-        l = l[[c for c in lcols]]
-        r = r[[c for c in rcols_out]]
+    def merge(g: pa.Table) -> pd.DataFrame:
+        # split sides in ARROW before to_pandas: each side's own columns
+        # are null-free after the split, so int64 keys/payloads stay int64
+        # (a unified to_pandas would NaN-pad and degrade them to float64,
+        # corrupting ids >= 2^53)
+        is_l = g["__side"]
+        l = g.filter(is_l).select(lcols).to_pandas()
+        r = g.filter(pc.invert(is_l)).select(rcols_out).to_pandas()
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame()
         return l.merge(r, on=key, how=how)
 
-    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def asof_join_grouped(left_ds, right_ds, key: str, ts: str,

@@ -127,3 +127,51 @@ def test_asof_preserves_large_int64_ids(quiet_data_context):
     assert np.isnan(out.loc[0, "value_asof"])       # before first purchase
     assert out.loc[1, "value_asof"] == 7.5
     assert np.isnan(out.loc[2, "value_asof"])       # user 2: empty right side
+
+
+def test_hash_join_preserves_large_int64(quiet_data_context):
+    """Regression: unified to_pandas NaN-padding degraded int64 to float64
+    in the hash-join merge (ids >= 2^53 corrupted); also covers int32
+    right-key vs int64 left-key cast."""
+    import ray.data as rd
+
+    big = (1 << 53) + 77
+    left = pd.DataFrame({"k": np.array([big, big + 1], dtype=np.int64),
+                         "x": np.array([10, 20], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([big, big + 1], dtype=np.int64),
+                          "y": np.array([7, 8], dtype=np.int64)})
+    out = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k", right_key="rk",
+        num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].dtype == np.int64
+    assert out["k"].tolist() == [big, big + 1]
+    assert out["y"].tolist() == [7, 8]
+
+    # mixed key types: right int32 key upcast to the left's int64
+    right32 = pd.DataFrame({"rk": np.array([1, 2], dtype=np.int32), "y": [5, 6]})
+    left64 = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64), "x": [0, 0]})
+    out2 = hash_join(
+        rd.from_pandas(left64), rd.from_pandas(right32), key="k", right_key="rk",
+        num_buckets=4,
+    ).to_pandas().sort_values("k")
+    assert out2["y"].tolist() == [5, 6]
+
+
+def test_simhash_scale_path_preserves_int64(quiet_data_context):
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.dedup import simhash_dedup
+
+    big = (1 << 53) + 77
+    rows = [
+        {"doc_id": big, "text": "alpha beta gamma delta"},
+        {"doc_id": big + 1, "text": "alpha beta gamma delta"},
+        {"doc_id": big + 2, "text": "totally different content here"},
+    ]
+    out = simhash_dedup(
+        rd.from_arrow(pa.Table.from_pylist(rows)), broadcast_threshold=0
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].dtype == np.int64
+    assert out["doc_id"].tolist() == [big, big + 1, big + 2]
+    assert out["rep_id"].tolist() == [big, big, big + 2]
