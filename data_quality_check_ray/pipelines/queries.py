@@ -461,6 +461,122 @@ def q_asof_purchase_before_error(sf_dir: str):
                              right_cols=["value"])
 
 
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) + top-10
+    revenue orders.  customer is broadcast (dimension side); orders ⋈
+    lineitem goes through the partitioned hash join; final top-k is a
+    sort+limit over the small grouped result."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import hash_join
+
+    rd = _rd()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_of)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def seg_filter(b: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = np.array([m.get(int(k)) == "BUILDING" for k in keys])
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"].filter(pa.array(segs)),
+             "o_orderdate": b["o_orderdate"].filter(pa.array(segs))}
+        )
+
+    building_orders = orders.map_batches(seg_filter, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "disc_cents": _cents(disc)})
+
+    joined = hash_join(
+        li.map_batches(derive, batch_format="pyarrow"),
+        building_orders, key="l_orderkey", right_key="o_orderkey", num_buckets=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey", "o_orderdate"]).aggregate([("disc_cents", "sum")])
+        return pa.table(
+            {"o_orderkey": g["l_orderkey"], "o_orderdate": g["o_orderdate"],
+             "cents": g["disc_cents_sum"]}
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(_agg_sum("cents", "revenue_cents"))
+    )
+    return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_supplier_stats(sf_dir: str):
+    """Dimension-chain rollup over the small side tables (supplier ⋈
+    nation ⋈ region, all broadcast): suppliers + total acctbal cents per
+    region name."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    r_of_n = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    name_of_r = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    ref = ray.put((r_of_n, name_of_r))
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        rn, nm = ray.get(ref)
+        keys = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([nm[rn[int(k)]] for k in keys], type=pa.string())
+        return pa.table({"region": names, "bal_cents": _cents(b["s_acctbal"])})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(_agg_count("n_suppliers"), _agg_sum("bal_cents", "acctbal_cents"))
+    )
+
+
+def q_part_size_median(sf_dir: str):
+    """Median part retail price (cents) per size bucket — exact median via
+    ts-sorted map_groups (grouped-quantile operator)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(b["p_size"], pa.float64()), 10.0)), pa.int64()
+        )
+        return pa.table({"size_bucket": bucket, "price_cents": _cents(b["p_retailprice"])})
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_cents"].to_numpy())
+        n = len(v)
+        m = float(v[n // 2]) if n % 2 else (float(v[n // 2 - 1]) + float(v[n // 2])) / 2.0
+        return pd.DataFrame(
+            {"size_bucket": [g["size_bucket"].iloc[0]], "n_parts": [n],
+             "median_price_cents": [m]}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("size_bucket")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -791,6 +907,9 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "priority_revenue": q_priority_revenue,
     "asof_purchase_before_error": q_asof_purchase_before_error,
+    "q3_shipping": q_q3_shipping,
+    "supplier_stats": q_supplier_stats,
+    "part_size_median": q_part_size_median,
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
     "pages_pipeline": q_pages_pipeline,
@@ -968,6 +1087,33 @@ ORACLE_SQL = {
                      ON p.user_id = e.user_id AND p.ts <= e.ts)
         SELECT event_id, user_id, ts, ts_asof, value_asof
         FROM j WHERE rn = 1
+    """,
+    "q3_shipping": """
+        SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY revenue_cents DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "supplier_stats": """
+        SELECT r.r_name AS region, count(*) AS n_suppliers,
+               sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1
+    """,
+    "part_size_median": """
+        SELECT CAST(floor(p_size / 10.0) AS BIGINT) AS size_bucket,
+               count(*) AS n_parts,
+               median(CAST(round(p_retailprice * 100) AS BIGINT))
+                   AS median_price_cents
+        FROM part GROUP BY 1
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -29,6 +29,9 @@ CHECKED = [
     "embed_dup_pairs",
     "priority_revenue",
     "asof_purchase_before_error",
+    "q3_shipping",
+    "supplier_stats",
+    "part_size_median",
 ]
 
 
