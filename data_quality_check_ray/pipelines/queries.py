@@ -921,7 +921,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_stats": """
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
     "token_counts": """
@@ -985,7 +986,8 @@ ORACLE_SQL = {
     "events_daily": """
         SELECT date_trunc('day', ts) AS day, event_type,
                count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_value_cents
         FROM events GROUP BY 1, 2
     """,
     "events_sliding_3h": """
@@ -993,9 +995,9 @@ ORACLE_SQL = {
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2)
         SELECT event_type, hour, n,
-               sum(n) OVER (PARTITION BY event_type ORDER BY hour
-                            RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
-                                      AND CURRENT ROW) AS n_3h
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                                 RANGE BETWEEN INTERVAL 2 HOUR PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS n_3h
         FROM h
     """,
     "top_users": """
@@ -1017,8 +1019,8 @@ ORACLE_SQL = {
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                   AS sum_disc_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1026,7 +1028,8 @@ ORACLE_SQL = {
     """,
     "segment_revenue": """
         SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
-               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
     """,
@@ -1069,8 +1072,8 @@ ORACLE_SQL = {
     """,
     "priority_revenue": """
         SELECT o.o_orderpriority, count(*) AS n_items,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                        AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
     """,
@@ -1090,8 +1093,8 @@ ORACLE_SQL = {
     """,
     "q3_shipping": """
         SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                        AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1102,7 +1105,8 @@ ORACLE_SQL = {
     """,
     "supplier_stats": """
         SELECT r.r_name AS region, count(*) AS n_suppliers,
-               sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS acctbal_cents
+               CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents
         FROM supplier s
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         JOIN region r ON r.r_regionkey = n.n_regionkey

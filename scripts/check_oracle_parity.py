@@ -73,6 +73,13 @@ def main():
         detail = ""
         if list(g.columns) != list(x.columns):
             status, detail = "SCHEMA-MISMATCH", f"{list(g.columns)} vs {list(x.columns)}"
+        elif [str(d) for d in g.dtypes] != [str(d) for d in x.dtypes]:
+            # the driver's hash is dtype-sensitive (int64 vs float64 of the
+            # same values hash differently) — flag loudly
+            status = "DTYPE-MISMATCH"
+            detail = " ".join(
+                f"{c}:{g[c].dtype}!={x[c].dtype}"
+                for c in g.columns if g[c].dtype != x[c].dtype)
         elif len(g) != len(x):
             status, detail = "ROWCOUNT", f"{len(g)} vs {len(x)}"
         else:
