@@ -40,6 +40,10 @@ def _cents(x) -> pa.Array:
     so aggregated money matches the oracle bitwise — float sums differ in
     the last ulp between engines and can round to different cents."""
     v = x.to_numpy(zero_copy_only=False).astype(np.float64) * 100.0
+    if np.isnan(v).any():
+        # NaN -> int64 is undefined behavior (platform-dependent garbage);
+        # nullable money columns must fail loudly, not corrupt silently.
+        raise ValueError("null/NaN in money column — cannot cast to cents")
     return pa.array(_round_half_away(v, 0).astype(np.int64))
 
 
@@ -47,6 +51,30 @@ def _round_col(t: pa.Table, col: str, k: int) -> pa.Table:
     x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
     i = t.column_names.index(col)
     return t.set_column(i, col, pa.array(_round_half_away(x, k)))
+
+
+def _one_chunk(a) -> pa.Array:
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _bcast_pairs(keys, vals):
+    """ray.put a (keys, values) Arrow pair once; read it in every task.
+
+    With ``_lookup`` this is the broadcast-join primitive: the dimension
+    side ships to each node exactly once through the object store, and the
+    per-batch probe is pure Arrow (index_in + take) — no per-row Python."""
+    import ray
+
+    return ray.put((_one_chunk(keys), _one_chunk(vals)))
+
+
+def _lookup(ref, probe) -> pa.Array:
+    """Vectorized broadcast-map probe: value for each key in ``probe``,
+    null where the key is absent (left-join semantics)."""
+    import ray
+
+    k, v = ray.get(ref)
+    return pc.take(v, pc.index_in(probe, value_set=k))
 
 
 # ---------------------------------------------------------------------------
@@ -366,19 +394,14 @@ def q_segment_revenue(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_of = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    seg_ref = ray.put(seg_of)
+    seg_ref = _bcast_pairs(cust["c_custkey"], cust["c_mktsegment"])
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def join(b: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = pa.array([m.get(int(k)) for k in keys], type=pa.string())
+        segs = _lookup(seg_ref, b["o_custkey"])
         return pa.table({"mktsegment": segs, "price_cents": _cents(b["o_totalprice"])})
 
     return (
@@ -411,8 +434,7 @@ def q_priority_revenue(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
-                       num_buckets=16)
+    joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey")
 
     def partial(b: pa.Table) -> pa.Table:
         # partial combine per batch (guide: pre-aggregate before a groupby)
@@ -473,21 +495,17 @@ def q_q3_shipping(sf_dir: str):
 
     rd = _rd()
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_of)
+    seg_ref = _bcast_pairs(cust["c_custkey"], cust["c_mktsegment"])
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
     def seg_filter(b: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = np.array([m.get(int(k)) == "BUILDING" for k in keys])
-        return pa.table(
-            {"o_orderkey": b["o_orderkey"].filter(pa.array(segs)),
-             "o_orderdate": b["o_orderdate"].filter(pa.array(segs))}
-        )
+        # null lookups (unknown custkey) compare null and are dropped by
+        # filter's default null_selection_behavior — inner-join semantics
+        mask = pc.equal(_lookup(seg_ref, b["o_custkey"]), "BUILDING")
+        return b.select(["o_orderkey", "o_orderdate"]).filter(mask)
 
     building_orders = orders.map_batches(seg_filter, batch_format="pyarrow")
 
@@ -502,7 +520,7 @@ def q_q3_shipping(sf_dir: str):
 
     joined = hash_join(
         li.map_batches(derive, batch_format="pyarrow"),
-        building_orders, key="l_orderkey", right_key="o_orderkey", num_buckets=16,
+        building_orders, key="l_orderkey", right_key="o_orderkey",
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -530,16 +548,18 @@ def q_supplier_stats(sf_dir: str):
     rd = _rd()
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
-    r_of_n = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
-    name_of_r = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    ref = ray.put((r_of_n, name_of_r))
+    # compose the nation->region-name chain ONCE on the driver (both dims
+    # are tiny), then broadcast a single (nationkey, region_name) pair
+    region_name = pc.take(
+        _one_chunk(reg["r_name"]),
+        pc.index_in(nat["n_regionkey"], value_set=reg["r_regionkey"]),
+    )
+    ref = _bcast_pairs(nat["n_nationkey"], region_name)
 
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def tag(b: pa.Table) -> pa.Table:
-        rn, nm = ray.get(ref)
-        keys = b["s_nationkey"].to_numpy(zero_copy_only=False)
-        names = pa.array([nm[rn[int(k)]] for k in keys], type=pa.string())
+        names = _lookup(ref, b["s_nationkey"])
         return pa.table({"region": names, "bal_cents": _cents(b["s_acctbal"])})
 
     return (

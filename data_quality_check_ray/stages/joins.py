@@ -21,6 +21,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 DEFAULT_BUCKETS = 64
+# target bytes of joined input per bucket: one bucket's two sides must fit
+# a single reducer's heap comfortably (Arrow hash join peaks ~2-3x input)
+TARGET_BUCKET_BYTES = 128 << 20
+MIN_BUCKETS, MAX_BUCKETS = 8, 4096
 
 
 def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -35,14 +39,45 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (x % np.uint64(num_buckets)).astype(np.int64)
 
 
-def hash_join(left_ds, right_ds, key: str, num_buckets: int = DEFAULT_BUCKETS,
-              how: str = "inner", suffix: str = "_r", right_key: str | None = None):
+def _auto_buckets(left_ds, right_ds) -> int:
+    """Size bucket count from input bytes so each bucket's merge stays a
+    bounded-memory task at any input scale (a fixed B means bucket size
+    grows linearly with data — the 100-TB failure mode)."""
+    total = 0
+    for ds in (left_ds, right_ds):
+        try:
+            b = ds.size_bytes()
+        except Exception:
+            b = None
+        total += b or 0
+    if total <= 0:
+        return DEFAULT_BUCKETS
+    want = -(-total // TARGET_BUCKET_BYTES)  # ceil div
+    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want)))
+
+
+def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
+              how: str = "inner", suffix: str = "_r", right_key: str | None = None,
+              salt_keys=None, salt: int = 8):
     """Partitioned hash join of two Datasets on an integer key column.
 
     -> Dataset with left columns + right columns (right key renamed to the
     left's, clashes suffixed).  Shuffle volume = the two projected sides,
-    once.
+    once.  ``num_buckets=None`` sizes buckets from input bytes
+    (~128 MiB/bucket) so a bucket merge never outgrows one reducer.
+
+    ``salt_keys``: keys hot enough that one reducer would drown (a giant
+    host, a null-surrogate id).  Hot LEFT rows are split across ``salt``
+    sub-buckets round-robin; hot RIGHT rows are replicated into every
+    sub-bucket, so each sub-bucket joins a 1/salt slice of the hot probe
+    side against the full hot build side — same rows out, fan-out bounded.
     """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
+    hot = (np.unique(np.asarray(list(salt_keys), dtype=np.int64))
+           if salt_keys else None)
+    salt = max(int(salt), 1)
+
     # one unified schema for both sides (absent columns null-padded):
     # schema-stable blocks keep the union + hash shuffle on the arrow fast
     # path — mixed schemas fall back to slow row handling
@@ -74,28 +109,53 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int = DEFAULT_BUCKETS,
                 else:
                     arrays.append(pa.nulls(len(b), types[c]))
             out = pa.table(dict(zip(names, arrays)))
-            keys = out[key].to_numpy(zero_copy_only=False)
-            out = out.append_column("__bucket", pa.array(_bucket_of(keys, num_buckets)))
-            return out.append_column(
+            out = out.append_column(
                 "__side", pa.array(np.full(len(b), side == "l"), type=pa.bool_())
             )
+            keys = out[key].to_numpy(zero_copy_only=False)
+            if hot is None:
+                bucket = _bucket_of(keys, num_buckets)
+                return out.append_column("__bucket", pa.array(bucket))
+            # composite bucket = base*salt + salt_id: sub-buckets of one key
+            # can never collide across salt ids (a hashed composite could,
+            # duplicating hot matches)
+            is_hot = np.isin(keys, hot)
+            base = _bucket_of(keys, num_buckets) * salt
+            if side == "l":
+                # split hot probe rows round-robin across salt sub-buckets
+                salt_id = np.zeros(len(keys), dtype=np.int64)
+                salt_id[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % salt
+                return out.append_column("__bucket", pa.array(base + salt_id))
+            # right side: replicate hot build rows into EVERY sub-bucket
+            pieces = [out.append_column("__bucket", pa.array(base))
+                      .filter(pa.array(~is_hot))]
+            hot_idx = np.where(is_hot)[0]
+            if len(hot_idx):
+                hot_rows = out.take(pa.array(hot_idx))
+                hot_base = base[hot_idx]
+                for s in range(salt):
+                    pieces.append(hot_rows.append_column(
+                        "__bucket", pa.array(hot_base + s)))
+            return pa.concat_tables(pieces)
         return f
 
     both = left_ds.map_batches(tag("l", key, None), batch_format="pyarrow").union(
         right_ds.map_batches(tag("r", rk, rcols_out), batch_format="pyarrow")
     )
 
-    def merge(g: pa.Table) -> pd.DataFrame:
-        # split sides in ARROW before to_pandas: each side's own columns
-        # are null-free after the split, so int64 keys/payloads stay int64
-        # (a unified to_pandas would NaN-pad and degrade them to float64,
-        # corrupting ids >= 2^53)
+    join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
+
+    def merge(g: pa.Table) -> pa.Table:
+        # split sides in ARROW and join in Arrow (Acero hash join): each
+        # side's own columns are null-free after the split, int64 keys stay
+        # int64, and the merge itself is multi-threaded native code — no
+        # pandas round-trip
         is_l = g["__side"]
-        l = g.filter(is_l).select(lcols).to_pandas()
-        r = g.filter(pc.invert(is_l)).select(rcols_out).to_pandas()
-        if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame()
-        return l.merge(r, on=key, how=how)
+        l = g.filter(is_l).select(lcols)
+        r = g.filter(pc.invert(is_l)).select(rcols_out)
+        if l.num_rows == 0 or (r.num_rows == 0 and how == "inner"):
+            return pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
+        return l.join(r, keys=key, join_type=join_type).select(all_cols)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 

@@ -158,6 +158,49 @@ def test_hash_join_preserves_large_int64(quiet_data_context):
     assert out2["y"].tolist() == [5, 6]
 
 
+def test_hash_join_salted_hot_key_matches_unsalted(quiet_data_context):
+    """Skewed-key regression: one key carries half the probe side.  The
+    salted join (hot probe rows split across sub-buckets, hot build rows
+    replicated per sub-bucket) must return exactly the unsalted rows."""
+    import ray.data as rd
+
+    rs = np.random.RandomState(11)
+    k = np.where(rs.rand(600) < 0.5, 7, rs.randint(0, 40, 600)).astype(np.int64)
+    left = pd.DataFrame({"k": k, "x": np.arange(600, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 40, dtype=np.int64),
+                          "y": np.arange(40, dtype=np.int64) * 10})
+
+    def run(**kw):
+        return (
+            hash_join(rd.from_pandas(left).repartition(4),
+                      rd.from_pandas(right).repartition(2),
+                      key="k", right_key="rk", num_buckets=8, **kw)
+            .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        )
+
+    plain = run()
+    salted = run(salt_keys=[7], salt=4)
+    pd.testing.assert_frame_equal(salted[plain.columns], plain)
+    expect = (left.merge(right.rename(columns={"rk": "k"}), on="k")
+              .sort_values(["k", "x"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(salted[expect.columns], expect,
+                                  check_dtype=False)
+
+
+def test_hash_join_left_outer(quiet_data_context):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "x": np.array([10, 20, 30], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([2], dtype=np.int64),
+                          "y": np.array([99], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", right_key="rk", num_buckets=4, how="left"
+                    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["y"].fillna(-1).tolist() == [-1, 99, -1]
+
+
 def test_simhash_scale_path_preserves_int64(quiet_data_context):
     import ray.data as rd
 
