@@ -72,20 +72,27 @@ def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     bg_row = row_ids[:-1][same_row]
     if not len(bg_row):
         return out
-    base = np.int64(codes.max()) + 1
-    bg_hash = codes[:-1][same_row].astype(np.int64) * base + codes[1:][same_row]
+    base = int(codes.max()) + 1
     total = np.bincount(bg_row, minlength=n)
-    base2 = base * base
-    if int(n) * int(base2) < (1 << 62):  # exact packing fits in int64
+    # guard in PYTHON ints: base*base in int64 silently wraps past ~2^31
+    # codes, which would corrupt the packed key while the guard still
+    # passes (the whole packed key (n+1)*base^2 must fit in int64)
+    if (int(n) + 1) * base * base < (1 << 62):  # exact packing fits in int64
+        base = np.int64(base)
+        base2 = base * base
+        bg_hash = codes[:-1][same_row].astype(np.int64) * base + codes[1:][same_row]
         comb = np.sort(bg_row * base2 + bg_hash)
         new = np.ones(len(comb), dtype=bool)
         new[1:] = comb[1:] != comb[:-1]
         uniq = np.bincount((comb[new] // base2), minlength=n)
-    else:  # pathological vocabulary size: exact two-key sort
-        order = np.lexsort((bg_hash, bg_row))
-        sr, sh = bg_row[order], bg_hash[order]
+    else:  # pathological vocabulary size: exact three-key sort (the packed
+        # bigram hash would wrap too, so sort the raw code pair)
+        c1 = codes[:-1][same_row].astype(np.int64)
+        c2 = codes[1:][same_row].astype(np.int64)
+        order = np.lexsort((c2, c1, bg_row))
+        sr, s1, s2 = bg_row[order], c1[order], c2[order]
         new = np.ones(len(sr), dtype=bool)
-        new[1:] = (sr[1:] != sr[:-1]) | (sh[1:] != sh[:-1])
+        new[1:] = (sr[1:] != sr[:-1]) | (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
         uniq = np.bincount(sr[new], minlength=n)
     nz = total > 0
     out[nz] = 1.0 - uniq[nz] / total[nz]

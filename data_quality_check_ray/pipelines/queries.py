@@ -680,19 +680,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pa.table({"sh": sh_out, "doc_id": doc_out})
 
     def hash_shingles(b: pa.Table) -> pa.Table:
-        # 64-bit md5-half id per shingle: grouping on a fixed-width int is
+        # 63-bit id per shingle (vectorized SipHash-style via pandas
+        # hash_array — no per-row Python): grouping on a fixed-width int is
         # far cheaper than on strings; collision odds for ~1e6 distinct
         # shingles are ~1e-7 (and only against the oracle, not internally)
-        import hashlib
-
-        ids = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") >> 1
-                for s in b["sh"].to_pylist()
-            ),
-            dtype=np.int64,
-            count=len(b),
-        )
+        obj = np.asarray(b["sh"].to_numpy(zero_copy_only=False), dtype=object)
+        ids = (pd.util.hash_array(obj) >> np.uint64(1)).astype(np.int64)
         return pa.table({"shid": ids, "doc_id": b["doc_id"]})
 
     # materialize the (shid, doc) rows: they are consumed twice (sizes +

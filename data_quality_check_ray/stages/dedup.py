@@ -34,11 +34,26 @@ from ..functions.textstats import as_single_array, split_words
 
 
 def md5_hex(texts) -> list[str]:
-    """md5 hex per row (matches DuckDB ``md5(text)``)."""
+    """md5 hex per row (matches DuckDB ``md5(text)``) — per-row hashlib, so
+    ONLY for oracle-parity queries; engine-internal dedup uses the
+    vectorized ``content_hash128`` below."""
     return [
         hashlib.md5((t or "").encode("utf-8")).hexdigest() if t is not None else None
         for t in (texts.to_pylist() if hasattr(texts, "to_pylist") else texts)
     ]
+
+
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 128-bit content hash: two independently-keyed 64-bit
+    SipHash-style passes (pandas ``hash_array``, cython-vectorized — no
+    per-row Python).  128 bits keeps the collision birthday bound far past
+    10^12 docs; a single 64-bit hash would collide at ~10^9."""
+    arr = as_single_array(texts) if hasattr(texts, "type") else texts
+    obj = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else np.asarray(arr)
+    obj = np.asarray(obj, dtype=object)
+    lo = pd.util.hash_array(obj, hash_key="0123456789abcdef")
+    hi = pd.util.hash_array(obj, hash_key="fedcba9876543210")
+    return lo.astype(np.int64), hi.astype(np.int64)
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fp") -> pa.Table:
@@ -59,17 +74,28 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "fp") -> pa.
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                digest: str = "fast"):
     """Keep the min-id row per distinct text.
 
-    Shuffle cost: only (fp, id) pairs move — the hash stage projects before
-    the groupby, so at 100 TB the exchange is ~32 bytes/doc.
+    Shuffle cost: only (digest, id) tuples move — the hash stage projects
+    before the groupby, so at 100 TB the exchange is ~24 bytes/doc.
+    ``digest="fast"`` (default) is the vectorized 128-bit path;
+    ``digest="md5"`` matches DuckDB md5 (per-row Python — oracle use only).
     """
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col).select([id_col, "fp"]),
-        batch_format="pyarrow",
-    )
-    return hashed.groupby("fp").min(id_col)
+    if digest == "md5":
+        hashed = ds.map_batches(
+            lambda b: add_content_hash(b, text_col).select([id_col, "fp"]),
+            batch_format="pyarrow",
+        )
+        return hashed.groupby("fp").min(id_col)
+
+    def h(b: pa.Table) -> pa.Table:
+        lo, hi = content_hash128(b[text_col])
+        return pa.table({"fp_lo": lo, "fp_hi": hi, id_col: b[id_col]})
+
+    return (ds.map_batches(h, batch_format="pyarrow")
+            .groupby(["fp_lo", "fp_hi"]).min(id_col))
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +158,32 @@ def shingle_hashes(texts: pa.Array, k: int = 3):
     return sh, sh_off
 
 
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x (uint64) mod 2^61-1, branch-free (x >> 61 <= 7, so one fold + one
+    conditional subtract suffices)."""
+    m = np.uint64(_MERSENNE)
+    r = (x >> np.uint64(61)) + (x & m)
+    return np.where(r >= m, r - m, r)
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a * h) mod 2^61-1 for a, h < 2^61 without 64-bit wrap-around.
+
+    32-bit-half schoolbook product reduced with 2^64 === 8 and
+    2^61 === 1 (mod M) — every intermediate fits uint64, so the affine
+    permutation family really is mod-Mersenne (a plain uint64 multiply
+    silently wraps mod 2^64 first, breaking the min-wise hash guarantee)."""
+    u32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & u32
+    h_hi, h_lo = h >> np.uint64(32), h & u32
+    # a*h = a_hi*h_hi*2^64 + (a_hi*h_lo + a_lo*h_hi)*2^32 + a_lo*h_lo
+    t1 = _mod61(_mod61(a_hi * h_hi) << np.uint64(3))          # *2^64 === *8
+    mid = _mod61(a_hi * h_lo + a_lo * h_hi)                   # < 2^61
+    m_hi, m_lo = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    t2 = _mod61(m_hi + (m_lo << np.uint64(32)))               # mid*2^32
+    return _mod61(t1 + t2 + _mod61(a_lo * h_lo))
+
+
 def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
     """(n_docs, num_perm) uint64 minhash signatures (empty docs -> max).
 
@@ -143,8 +195,10 @@ def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if not len(sh):
         return sig
-    # hv[perm, shingle] = (a*h + b) mod mersenne — vectorized outer
-    hv = (sh[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
+    # hv[perm, shingle] = (a*h + b) mod mersenne — exact 128-bit-emulated
+    # modular arithmetic (see _mulmod61)
+    hv = _mod61(_mulmod61(_PERM_A[:, None], _mod61(sh)[None, :])
+                + _PERM_B[:, None])
     starts = off[:-1]
     nonempty = off[1:] > starts
     if nonempty.any():
@@ -222,19 +276,22 @@ def expand_doc_pairs(doc_lists, cap: int | None = None) -> pa.Table:
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.8):
+                  threshold: float = 0.8, pair_limit: int = 100_000):
     """Near-dup assignment: -> Dataset(doc_id, rep_id, is_dup).
 
     Pipeline shape (scale path): band explode [map] -> groupby(band) buckets
     [shuffle of (band, hash, id) triples only] -> candidate pairs -> verify
     Jaccard on the (small) candidate set -> min-label representative.
 
-    The verify step re-reads candidate texts via a broadcast id->text map
-    built from the candidate ids only; at 100 TB this side table is the set
-    of *bucket-colliding* docs, orders of magnitude smaller than the corpus.
-    Cluster closure runs min-label propagation on the candidate-pair edge
-    list (driver-side; the edge list is the provably-small candidate set —
-    ray_guide.md dedup pattern).
+    Two closure paths, switched on the measured candidate-pair count:
+
+      * <= ``pair_limit``: candidates collect to the driver, verification
+        uses a broadcast id->text map, clustering is union-find — cheapest
+        when the candidate set is provably small;
+      * >  ``pair_limit``: everything stays distributed — candidate texts
+        attach via two bucketed hash joins, per-pair Jaccard verification
+        runs in map_batches, and cluster closure is
+        ``connected_components_distributed`` (join + groupby-min rounds).
     """
     import ray
 
@@ -265,14 +322,17 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .aggregate(collect)
     )
 
-    pairs = (
-        collected.map_batches(
-            lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=200),
-            batch_format="pyarrow",
+    pairs_ds = collected.map_batches(
+        lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=200),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if pairs_ds.count() > pair_limit:
+        return _minhash_closure_distributed(
+            ds, pairs_ds, text_col, id_col, threshold
         )
-        .to_pandas()
-        .drop_duplicates()
-    )
+
+    pairs = pairs_ds.to_pandas().drop_duplicates()
 
     # verify candidates with exact jaccard (broadcast candidate texts)
     cand_ids = set(pairs["a"]).union(pairs["b"]) if len(pairs) else set()
@@ -330,6 +390,68 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
+                                 threshold: float):
+    """Scale path for minhash closure: no driver-side materialization.
+
+    dedupe pairs [groupby] -> attach both texts [2 bucketed hash joins] ->
+    exact-Jaccard verify [map_batches over candidate rows only] ->
+    connected_components_distributed -> rep assignment [left hash join].
+    """
+    from .joins import hash_join
+
+    uniq = pairs_ds.groupby(["a", "b"]).count().map_batches(
+        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    )
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+    )
+    with_a = hash_join(uniq, texts, key="a", right_key=id_col).map_batches(
+        lambda b: b.rename_columns(
+            ["__text_a" if c == text_col else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = hash_join(with_a, texts, key="b", right_key=id_col)
+
+    def verify(b: pa.Table) -> pa.Table:
+        ta = b["__text_a"].to_pylist()
+        tb = b[text_col].to_pylist()
+        keep = np.array(
+            [jaccard_scalar(x or "", y or "") >= threshold for x, y in zip(ta, tb)],
+            dtype=bool,
+        )
+        return b.select(["a", "b"]).filter(pa.array(keep))
+
+    edges = with_both.map_batches(verify, batch_format="pyarrow").materialize()
+
+    ids = ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}), batch_format="pyarrow"
+    )
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pa.table({
+                "doc_id": b[id_col],
+                "rep_id": b[id_col],
+                "is_dup": pa.array(np.zeros(len(b), dtype=bool)),
+            }),
+            batch_format="pyarrow",
+        )
+    labels = connected_components_distributed(edges)
+    joined = hash_join(ids, labels, key=id_col, right_key="node", how="left")
+
+    def assign(b: pa.Table) -> pa.Table:
+        # non-candidates have a null label after the left join -> self-rep
+        rep = pc.coalesce(b["label"], b[id_col])
+        return pa.table({
+            "doc_id": b[id_col],
+            "rep_id": rep,
+            "is_dup": pc.not_equal(rep, b[id_col]),
+        })
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # distributed connected components (scale path for cluster closure)
 # ---------------------------------------------------------------------------
@@ -339,16 +461,18 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
     """Edge Dataset (a:int64, b:int64) -> Dataset (node, label) where label
     is the min node id of the connected component.
 
-    Iterative min-label propagation: each round, every node takes the min
-    of its own label and its neighbors' labels (one groupby-join + one
-    groupby-min shuffle per round; converges in O(component diameter)
-    rounds).  Convergence is verified: labels decrease monotonically, so an
-    unchanged label SUM means a fixed point — if ``max_rounds`` is
-    exhausted while labels are still changing, a RuntimeError is raised
-    instead of silently returning split components.  This is the
-    ray_guide.md alternative to driver-side union-find when the
+    Iterative min-label propagation: each round is ONE bucketed hash join
+    (labels onto directed edges) + ONE groupby-min — both existing
+    block-parallel primitives, so a round costs two bounded shuffles and no
+    per-node Python (the previous per-node ``map_groups`` spread paid one
+    pandas DataFrame per graph node per round).  Converges in O(component
+    diameter) rounds.  Convergence is verified: labels decrease
+    monotonically, so an unchanged label SUM means a fixed point — if
+    ``max_rounds`` is exhausted while labels are still changing, a
+    RuntimeError is raised instead of silently returning split components.
+    This is the ray_guide.md alternative to driver-side union-find when the
     candidate-pair set is NOT provably small."""
-    import ray.data as rd
+    from .joins import hash_join
 
     def to_nodes(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -367,6 +491,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
         .map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
+        .materialize()
     )
 
     def both_dirs(b: pa.Table) -> pa.Table:
@@ -379,7 +504,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
             }
         )
 
-    edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+    edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
     # max_rounds propagation rounds + ONE verification round: the
     # sum-equality check can only observe convergence a round late, so
@@ -387,39 +512,15 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
     # max_rounds would be wrongly rejected
     prev_sum: int | None = None
     for _ in range(max_rounds + 1):
-        # group each node's incident edges with its current label; spread
-        # the group-min label to every neighbor x
-        def pad_edges(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "x": b["x"],
-                    "label": pa.nulls(len(b), pa.int64()),
-                }
-            )
-
-        def pad_labels(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": b["node"],
-                    "x": pa.nulls(len(b), pa.int64()),
-                    "label": b["label"],
-                }
-            )
-
-        unioned = edges_both.map_batches(pad_edges, batch_format="pyarrow").union(
-            labels.map_batches(pad_labels, batch_format="pyarrow")
+        # each node's label flows to every neighbor: join labels onto the
+        # directed edge list, re-address to the neighbor, then take the min
+        # of own + incoming labels
+        prop = hash_join(edges_both, labels, key="node").map_batches(
+            lambda b: pa.table({"node": b["x"], "label": b["label"]}),
+            batch_format="pyarrow",
         )
-
-        def spread(g: pd.DataFrame) -> pd.DataFrame:
-            lbl = int(g["label"].min())
-            out_nodes = [int(g["node"].iloc[0])]
-            out_nodes.extend(int(x) for x in g["x"].dropna())
-            return pd.DataFrame({"node": out_nodes, "label": lbl})
-
         labels = (
-            unioned.groupby("node")
-            .map_groups(spread, batch_format="pandas")
+            prop.union(labels)
             .groupby("node")
             .min("label")
             .map_batches(

@@ -113,6 +113,33 @@ def test_distributed_connected_components(quiet_data_context):
     assert out == expect
 
 
+def test_minhash_distributed_closure_matches_driver_path(quiet_data_context):
+    """pair_limit=0 forces the fully-distributed closure (joins + CC);
+    clusters must be identical to the driver union-find path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table()).repartition(3)
+    driver = (dedup.minhash_dedup(ds, threshold=0.5)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    dist = (dedup.minhash_dedup(ds, threshold=0.5, pair_limit=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert driver[["doc_id", "rep_id", "is_dup"]].equals(
+        dist[["doc_id", "rep_id", "is_dup"]])
+    assert dist.set_index("doc_id").loc[1, "rep_id"] == 0
+    assert dist.set_index("doc_id").loc[2, "rep_id"] == 0
+
+
+def test_exact_dedup_fast_matches_md5(quiet_data_context):
+    """The vectorized 128-bit digest must collapse exactly the same rows
+    as the md5 path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    fast = dedup.exact_dedup(ds).to_pandas()
+    md5 = dedup.exact_dedup(ds, digest="md5").to_pandas()
+    assert sorted(fast["min(doc_id)"]) == sorted(md5["min(doc_id)"])
+
+
 def test_short_docs_are_not_false_minhash_dups(quiet_data_context):
     """Regression: docs with <3 words have empty shingle sets; they must
     never be clustered together (review finding: all-max sentinel
