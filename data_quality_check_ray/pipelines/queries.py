@@ -330,6 +330,87 @@ def q_props_valid(sf_dir: str):
     )
 
 
+#: Schema exercising every dynamic-message arm the reference validates
+#: (dynamic-message/src/lib.rs:22-247): scalar kinds, enum-by-name, nested
+#: message, plus the repeated wrapper.
+JSON_CONFORM_SPEC = {
+    "name": "doc_meta",
+    "fields": {
+        "id": {"kind": "uint64"},
+        "lang": {"kind": "enum", "values": ["en", "de", "fr", "es", "nl"]},
+        "score": {"kind": "double"},
+        "flags": {"kind": "message", "fields": {"pii": {"kind": "bool"}}},
+        "tags": {"kind": "string", "repeated": True},
+    },
+}
+
+
+class _JsonConformStage:
+    """Actor-pool stage: schema compiled ONCE per actor in __init__
+    (functions/json_schema.compile_schema), per-batch work is parse +
+    dict-walk only."""
+
+    def __init__(self):
+        from ..functions.json_schema import compile_schema
+
+        self.validate = compile_schema(JSON_CONFORM_SPEC)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.json_schema import validate_json_batch
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).tolist()
+        langs = b["lang"].to_pylist()
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).tolist()
+        docs = []
+        for i, lg, nc in zip(ids, langs, nch):
+            # deterministic fault injection, at most ONE anomaly per row —
+            # mirrored exactly by the oracle's CASE chain
+            if i % 7 == 0:
+                inj = "score"
+            elif i % 11 == 0:
+                inj = "extra"
+            elif i % 13 == 0:
+                inj = "flags"
+            elif i % 17 == 0:
+                inj = "tags"
+            elif i % 19 == 0:
+                inj = "lang"
+            elif i % 23 == 0:
+                inj = "pii"
+            else:
+                inj = ""
+            lang_j = '"zz"' if inj == "lang" else f'"{lg}"'
+            score_j = '"high"' if inj == "score" else str(nc)
+            if inj == "flags":
+                flags_j = "5"
+            elif inj == "pii":
+                flags_j = '{"pii": "yes"}'
+            else:
+                flags_j = '{"pii": true}' if i % 2 == 0 else '{"pii": false}'
+            tags_j = '"ab"' if inj == "tags" else '["a", "b"]'
+            extra_j = ', "extra": 1' if inj == "extra" else ""
+            docs.append(
+                f'{{"id": {i}, "lang": {lang_j}, "score": {score_j}, '
+                f'"flags": {flags_j}, "tags": {tags_j}{extra_j}}}'
+            )
+        _, reason = validate_json_batch(docs, self.validate)
+        return pa.table({"doc_id": b["doc_id"], "conform_reason": reason})
+
+
+def q_json_conform(sf_dir: str):
+    """General JSON-vs-schema conformance over synthesized metadata docs:
+    enum + nested-message + repeated arms all exercised, differentially
+    checked against a DuckDB json_type oracle that validates the SAME
+    constructed documents independently."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return ds.map_batches(
+        _JsonConformStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational operators
 # ---------------------------------------------------------------------------
@@ -925,6 +1006,7 @@ QUERIES = {
     "part_size_median": q_part_size_median,
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
+    "json_conform": q_json_conform,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
@@ -1028,6 +1110,71 @@ ORACLE_SQL = {
                   AND json_type(json_extract(props, '$.k')) = 'UBIGINT'
                   AND CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_k_gt_50
         FROM events
+    """,
+    "json_conform": """
+        -- differential oracle: construct the SAME fault-injected JSON docs
+        -- and validate them with DuckDB's json_type instead of the
+        -- engine's compiled validator
+        WITH c AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN doc_id % 7 = 0 THEN 'score'
+                        WHEN doc_id % 11 = 0 THEN 'extra'
+                        WHEN doc_id % 13 = 0 THEN 'flags'
+                        WHEN doc_id % 17 = 0 THEN 'tags'
+                        WHEN doc_id % 19 = 0 THEN 'lang'
+                        WHEN doc_id % 23 = 0 THEN 'pii'
+                        ELSE '' END AS inj
+            FROM documents),
+        j AS (
+            SELECT doc_id,
+                   '{"id": ' || doc_id
+                   || ', "lang": '
+                   || CASE WHEN inj = 'lang' THEN '"zz"'
+                           ELSE '"' || lang || '"' END
+                   || ', "score": '
+                   || CASE WHEN inj = 'score' THEN '"high"'
+                           ELSE CAST(n_chars AS VARCHAR) END
+                   || ', "flags": '
+                   || CASE WHEN inj = 'flags' THEN '5'
+                           WHEN inj = 'pii' THEN '{"pii": "yes"}'
+                           WHEN doc_id % 2 = 0 THEN '{"pii": true}'
+                           ELSE '{"pii": false}' END
+                   || ', "tags": '
+                   || CASE WHEN inj = 'tags' THEN '"ab"'
+                           ELSE '["a", "b"]' END
+                   || CASE WHEN inj = 'extra' THEN ', "extra": 1' ELSE '' END
+                   || '}' AS doc
+            FROM c)
+        SELECT doc_id,
+               CASE
+                 WHEN NOT json_valid(doc) THEN 'invalid_json'
+                 WHEN json_type(doc) != 'OBJECT' THEN 'expected_object'
+                 WHEN len(list_filter(json_keys(doc),
+                        k -> k NOT IN ('id','lang','score','flags','tags'))) > 0
+                   THEN 'unknown_field:' || list_filter(json_keys(doc),
+                        k -> k NOT IN ('id','lang','score','flags','tags'))[1]
+                 WHEN json_type(doc, '$.id') != 'UBIGINT'
+                   THEN 'type_mismatch:id'
+                 WHEN json_type(doc, '$.lang') != 'VARCHAR'
+                   THEN 'type_mismatch:lang'
+                 WHEN json_extract_string(doc, '$.lang')
+                        NOT IN ('en','de','fr','es','nl')
+                   THEN 'bad_enum:lang'
+                 WHEN json_type(doc, '$.score')
+                        NOT IN ('UBIGINT','BIGINT','DOUBLE')
+                   THEN 'type_mismatch:score'
+                 WHEN json_type(doc, '$.flags') != 'OBJECT'
+                   THEN 'type_mismatch:flags'
+                 WHEN len(list_filter(json_keys(doc, '$.flags'),
+                        k -> k != 'pii')) > 0
+                   THEN 'unknown_field:flags.' || list_filter(
+                        json_keys(doc, '$.flags'), k -> k != 'pii')[1]
+                 WHEN json_type(doc, '$.flags.pii') != 'BOOLEAN'
+                   THEN 'type_mismatch:flags.pii'
+                 WHEN json_type(doc, '$.tags') != 'ARRAY'
+                   THEN 'type_mismatch:tags'
+                 ELSE '' END AS conform_reason
+        FROM j
     """,
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
