@@ -1176,6 +1176,19 @@ ORACLE_SQL = {
                  ELSE '' END AS conform_reason
         FROM j
     """,
+    "host_topk": """
+        -- pages are a deterministic function of documents
+        -- (sources/pages.documents_to_pages_batch: host =
+        -- source || '.docs.example.org'); the engine extracts the host
+        -- back out of the url with a regex + salted two-phase groupby,
+        -- the oracle recomputes it from the construction
+        SELECT source || '.docs.example.org' AS host,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM documents
+        GROUP BY 1
+        ORDER BY n_pages DESC, host ASC
+        LIMIT 5
+    """,
     "q1_pricing": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

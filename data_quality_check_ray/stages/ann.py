@@ -186,11 +186,13 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, centroids: np.ndarr
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(d: int, bits: int = 16) -> np.ndarray:
-    """Deterministic random hyperplanes from md5-seeded uniforms."""
+def _hyperplanes(d: int, bits: int = 16, table: int = 0) -> np.ndarray:
+    """Deterministic random hyperplanes from md5-seeded uniforms (one
+    independent set per hash table)."""
     out = np.empty((bits, d), dtype=np.float32)
     for i in range(bits):
-        seed = int.from_bytes(hashlib.md5(f"hp-{i}-{d}".encode()).digest()[:8], "little")
+        tag = f"hp-{i}-{d}" if table == 0 else f"hp-t{table}-{i}-{d}"
+        seed = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "little")
         rs = np.random.RandomState(seed % (2**32))
         out[i] = rs.standard_normal(d).astype(np.float32)
     return out
@@ -201,25 +203,50 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (signs.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)).sum(axis=1)
 
 
+def _probe_masks(bits: int, flips: int) -> np.ndarray:
+    """XOR masks for multi-probe: the 0 mask plus every mask with at most
+    ``flips`` bits set (Lv et al. 2007 multi-probe LSH — probe the
+    neighboring buckets most likely to hold a near neighbor)."""
+    masks = [0]
+    if flips >= 1:
+        masks += [1 << i for i in range(bits)]
+    if flips >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(bits) for j in range(i + 1, bits)]
+    return np.array(masks, dtype=np.uint64)
+
+
 def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 8):
+             id_col: str = "vec_id", vec_col: str = "embedding", bits: int = 8,
+             n_tables: int = 4, probe_flips: int = 1):
     """Bucketed ANN: per batch, only vectors whose sign-bucket matches some
-    query's bucket enter the matmul (approximate; recall < 1).  With ``bits``
-    hyperplanes a batch is pruned ~2^bits-fold for uniformly spread data."""
+    query's probe set in ANY table enter the matmul.
+
+    Recall comes from two standard amplifiers over the plain sign-LSH
+    (which misses boundary-crossing neighbors badly — measured 0.36
+    recall@10 at bits=6): ``n_tables`` independent hyperplane sets
+    (OR-of-tables) and ``probe_flips`` multi-probe bucket expansion
+    (flip <= ``flips`` sign bits of the query bucket).  Pruning factor is
+    ~2^bits / (n_tables * n_probe_buckets) for spread data."""
     import ray
 
     d = queries.shape[1]
-    planes = _hyperplanes(d, bits)
     qn = _normalize(queries.astype(np.float32))
-    q_buckets = _bucket_of(qn, planes)
-    q_ref = ray.put((qn, query_ids.astype(np.int64), planes, set(int(x) for x in q_buckets)))
+    planes_list = [_hyperplanes(d, bits, t) for t in range(n_tables)]
+    masks = _probe_masks(bits, probe_flips)
+    probe_sets = []
+    for planes in planes_list:
+        qb = _bucket_of(qn, planes)                    # (Q,)
+        probe_sets.append(np.unique(qb[:, None] ^ masks[None, :]))
+    q_ref = ray.put((qn, query_ids.astype(np.int64), planes_list, probe_sets))
 
     def partial(batch: pa.Table) -> pa.Table:
-        qmat, qids, pl, qb = ray.get(q_ref)
+        qmat, qids, pls, probes = ray.get(q_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = _normalize(_as_matrix(batch[vec_col]))
-        buckets = _bucket_of(emb, pl)
-        mask = np.isin(buckets, np.fromiter(qb, dtype=np.uint64))
+        mask = np.zeros(len(ids), dtype=bool)
+        for pl, pb in zip(pls, probes):
+            mask |= np.isin(_bucket_of(emb, pl), pb)
         ids, emb = ids[mask], emb[mask]
         if not len(ids):
             return pa.table({"query_id": pa.array([], type=pa.int64()),
