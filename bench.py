@@ -55,15 +55,22 @@ def ensure_pages(n: int) -> str:
     return d
 
 
-def bench_config():
+def bench_config(n_pages: int | None = None):
     from data_quality_check_ray.config import PipelineConfig
 
-    # fixed-size pool at ~40% of CPUs: the parquet read + extraction tasks
-    # are themselves CPU-heavy, so reserving most CPUs for the model pool
-    # starves the read and the pipeline serializes (measured: 0.4 is the
-    # sweet spot at both 8 and 32 CPUs).  Ramping autoscale (1, hi) is too
+    # fixed-size pool at ~75% of CPUs: pre_stage FUSES into the actor pool
+    # (one physical operator does extraction + scoring), so the pool does
+    # nearly all the work and only the parquet read + write need the
+    # remaining slots (~20 cpu-s per 800k pages vs ~100 cpu-s in the
+    # pool).  Round-1's 0.5 fraction left 40% of a 32-CPU box idle —
+    # measured: 0.75 is the sweet spot at both 8 and 32 CPUs for jobs long
+    # enough to amortize actor spawn; short jobs cap the pool so each
+    # actor gets several batches of work (spawning 24 actors for 50
+    # batches costs more than it buys).  Ramping autoscale (1, hi) is too
     # slow for a short bench window; long jobs can use it.
-    pool = max(1, int(NUM_CPUS * 0.5))
+    pool = max(1, int(NUM_CPUS * 0.75))
+    if n_pages is not None:
+        pool = max(1, min(pool, n_pages // 12_000))
     return PipelineConfig(model_concurrency=(pool, pool))
 
 
@@ -88,7 +95,7 @@ def run_headline() -> dict:
     for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        ds = build_pipeline(rd.read_parquet(pages_dir), bench_config())
+        ds = build_pipeline(rd.read_parquet(pages_dir), bench_config(n))
         ds.write_parquet(out_dir)
         walls.append(time.time() - t0)
     wall = min(walls)
@@ -157,9 +164,12 @@ def scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-            # 4x the default workload so fixed costs (session setup, actor
-            # spawn, write finalize) don't dominate the 32-CPU run
-            BENCH_PAGES=os.environ.get("BENCH_PAGES", "800000"),
+            # 8x the default workload so fixed costs (session setup, actor
+            # spawn, pipeline rampup, write finalize ~5-6 s at 32 CPUs)
+            # don't dominate the 32-CPU run — a 100-TB job amortizes them
+            # to nothing, so the scaling number should too
+            BENCH_PAGES=os.environ.get("BENCH_PAGES", "1600000"),
+            BENCH_REPS=os.environ.get("BENCH_REPS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -515,26 +515,42 @@ def q_priority_revenue(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey")
 
-    def partial(b: pa.Table) -> pa.Table:
-        # partial combine per batch (guide: pre-aggregate before a groupby)
-        # — the shuffle then carries ~5 rows per block instead of 600k rows
-        df = b.group_by("o_orderpriority").aggregate(
+    def partial(t: pa.Table) -> pa.Table:
+        # runs INSIDE the join reducer on the whole bucket (exact per
+        # bucket): the join's second shuffle disappears and only ~5 rows
+        # per bucket leave the reducer
+        g = t.group_by("o_orderpriority").aggregate(
             [("disc_cents", "sum"), ("disc_cents", "count")]
         )
         return pa.table(
             {
-                "o_orderpriority": df["o_orderpriority"],
-                "cents": df["disc_cents_sum"],
-                "cnt": df["disc_cents_count"],
+                "o_orderpriority": g["o_orderpriority"],
+                "cents": g["disc_cents_sum"],
+                "cnt": g["disc_cents_count"],
             }
         )
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(_agg_sum("cnt", "n_items"), _agg_sum("cents", "revenue_cents"))
+    joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
+                       bucket_reduce=partial)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("cnt", "sum"), ("cents", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_items": g["cnt_sum"],
+                "revenue_cents": g["cents_sum"],
+            }
+        )
+
+    # final combine input is bounded at num_buckets x n_priorities rows at
+    # ANY corpus size — a single-task Arrow group_by beats a distributed
+    # Aggregate's fixed shuffle cost by ~1.5 s here
+    return joined.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -599,22 +615,20 @@ def q_q3_shipping(sf_dir: str):
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
         return pa.table({"l_orderkey": b["l_orderkey"], "disc_cents": _cents(disc)})
 
-    joined = hash_join(
-        li.map_batches(derive, batch_format="pyarrow"),
-        building_orders, key="l_orderkey", right_key="o_orderkey",
-    )
-
-    def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["l_orderkey", "o_orderdate"]).aggregate([("disc_cents", "sum")])
+    def per_order(t: pa.Table) -> pa.Table:
+        # runs INSIDE the join reducer: a bucket owns all lineitems of its
+        # orders, so the per-order revenue is exact here and no second
+        # groupby shuffle is needed before the top-k
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate([("disc_cents", "sum")])
         return pa.table(
             {"o_orderkey": g["l_orderkey"], "o_orderdate": g["o_orderdate"],
-             "cents": g["disc_cents_sum"]}
+             "revenue_cents": g["disc_cents_sum"]}
         )
 
-    agg = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_orderkey", "o_orderdate"])
-        .aggregate(_agg_sum("cents", "revenue_cents"))
+    agg = hash_join(
+        li.map_batches(derive, batch_format="pyarrow"),
+        building_orders, key="l_orderkey", right_key="o_orderkey",
+        bucket_reduce=per_order,
     )
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
 

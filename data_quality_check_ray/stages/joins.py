@@ -58,7 +58,7 @@ def _auto_buckets(left_ds, right_ds) -> int:
 
 def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
               how: str = "inner", suffix: str = "_r", right_key: str | None = None,
-              salt_keys=None, salt: int = 8):
+              salt_keys=None, salt: int = 8, bucket_reduce=None):
     """Partitioned hash join of two Datasets on an integer key column.
 
     -> Dataset with left columns + right columns (right key renamed to the
@@ -71,7 +71,17 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
     sub-buckets round-robin; hot RIGHT rows are replicated into every
     sub-bucket, so each sub-bucket joins a 1/salt slice of the hot probe
     side against the full hot build side — same rows out, fan-out bounded.
+
+    ``bucket_reduce``: optional ``pa.Table -> pa.Table`` applied to each
+    bucket's joined table INSIDE the reducer.  A bucket owns every row of
+    its keys, so a per-key aggregation here is exact by construction —
+    join+aggregate pipelines skip the second global shuffle entirely.
+    (Not compatible with ``salt_keys``: a salted hot key spans
+    sub-buckets, so a per-key reduce would see partial groups.)
     """
+    if bucket_reduce is not None and salt_keys:
+        raise ValueError("bucket_reduce requires unsalted buckets "
+                         "(a salted key's groups span sub-buckets)")
     if num_buckets is None:
         num_buckets = _auto_buckets(left_ds, right_ds)
     hot = (np.unique(np.asarray(list(salt_keys), dtype=np.int64))
@@ -142,6 +152,12 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
     both = left_ds.map_batches(tag("l", key, None), batch_format="pyarrow").union(
         right_ds.map_batches(tag("r", rk, rcols_out), batch_format="pyarrow")
     )
+    # coalesce to ~num_buckets blocks BEFORE the groupby shuffle: Ray's
+    # sort shuffle makes (input blocks x output partitions) exchanges and
+    # sizes output partitions to the input block count, so feeding it
+    # hundreds of small blocks costs quadratic per-task overhead while the
+    # bytes-scaled bucket count is the right shuffle width at any scale
+    both = both.repartition(num_buckets)
 
     join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
 
@@ -154,8 +170,10 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
         l = g.filter(is_l).select(lcols)
         r = g.filter(pc.invert(is_l)).select(rcols_out)
         if l.num_rows == 0 or (r.num_rows == 0 and how == "inner"):
-            return pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
-        return l.join(r, keys=key, join_type=join_type).select(all_cols)
+            out = pa.table({c: pa.nulls(0, types[c]) for c in all_cols})
+        else:
+            out = l.join(r, keys=key, join_type=join_type).select(all_cols)
+        return bucket_reduce(out) if bucket_reduce is not None else out
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 

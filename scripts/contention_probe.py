@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Substantiate the single-box memory-bus ceiling behind the 8v32 scaling
+number (BENCH/BASELINE.md).
+
+Runs the EXACT model-stage kernel (pre_stage + QualityModelStage.__call__
+on a fixed 4000-page batch) in K concurrent plain OS processes — zero Ray,
+zero scheduling, zero object store — and measures per-process throughput.
+Any per-process slowdown at higher K is pure hardware contention (shared
+memory controller / LLC), the component a multi-NODE cluster does not
+have.  Writes BENCH/contention.json.
+
+    python scripts/contention_probe.py [pages_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+WORKER = '''
+import sys, time
+sys.path.insert(0, %(root)r)
+import pyarrow.parquet as pq
+from data_quality_check_ray.config import PipelineConfig
+from data_quality_check_ray.stages.models import QualityModelStage
+from data_quality_check_ray.pipelines.quality import pre_stage
+t = pq.read_table(%(parquet)r)
+b = pre_stage(t.slice(0, 4000))
+s = QualityModelStage(cfg=PipelineConfig())
+s(b)  # warm
+t0 = time.time(); n = 0
+while time.time() - t0 < %(secs)d:
+    s(b); n += 1
+print(n / (time.time() - t0))
+'''
+
+
+def main() -> None:
+    pages_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    if pages_dir is None:
+        from data_quality_check_ray.sources import synth
+
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+        pages_dir = f"{base}/dqcr_contention_pages"
+        synth.write_pages_parquet(pages_dir, 8000, num_files=1)
+    parquet = os.path.join(
+        pages_dir, sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))[0]
+    )
+    secs = int(os.environ.get("PROBE_SECS", "8"))
+    levels = [int(x) for x in os.environ.get("PROBE_LEVELS", "1,6,24").split(",")]
+    code = WORKER % {"root": ROOT, "parquet": parquet, "secs": secs}
+
+    results = {}
+    for k in levels:
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE, text=True)
+            for _ in range(k)
+        ]
+        rates = [float(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+        results[str(k)] = {
+            "per_proc_batches_per_sec": round(sum(rates) / len(rates), 3),
+            "total_batches_per_sec": round(sum(rates), 2),
+        }
+        print(k, results[str(k)])
+
+    lo, hi = str(levels[0] if levels[0] > 1 else levels[1]), str(levels[-1])
+    # efficiency ceiling the hardware imposes on a (lo -> hi)-process
+    # scale-up of THIS kernel, independent of any framework
+    ceiling = (results[hi]["total_batches_per_sec"]
+               / results[lo]["total_batches_per_sec"]) \
+        / (int(hi) / int(lo))
+    out = {
+        "kernel": "pre_stage + QualityModelStage on a fixed 4000-page batch",
+        "framework": "none (plain OS processes)",
+        "seconds_per_level": secs,
+        "levels": results,
+        "per_proc_slowdown_at_max": round(
+            1 - results[hi]["per_proc_batches_per_sec"]
+            / results[str(levels[0])]["per_proc_batches_per_sec"], 3),
+        "hardware_efficiency_ceiling": round(ceiling, 3),
+        "note": (
+            "per-process slowdown with no scheduler/object store in the "
+            "loop = shared memory-controller/LLC contention; a multi-node "
+            "cluster adds a memory bus per node, so node-count scaling is "
+            "not subject to this ceiling"
+        ),
+    }
+    with open(os.path.join(ROOT, "BENCH", "contention.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
