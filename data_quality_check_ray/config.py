@@ -52,3 +52,14 @@ class PipelineConfig:
     # backpressure, SURVEY.md §4.1); max is capped by available CPUs at
     # runtime.  bench.py widens this to ~the node size.
     model_concurrency: tuple[int, int] = (1, 24)
+    # per-stage duration histograms (state/stage_metrics — the reference's
+    # OTel histogram analog, metrics.rs:22-25): one observation per BATCH
+    # per phase, aggregated by a named collector actor and snapshotted
+    # into lineage rows.  Off by default: it costs one actor round-trip
+    # per batch.
+    stage_metrics: bool = False
+    # optional JSON schema config file (schema.load_schema_file): validate
+    # a different pages-table variant — e.g. extra passthrough columns —
+    # without a code change (the reference's upload-a-descriptor
+    # extensibility, handlers.rs:27-78, as config)
+    schema_file: str | None = None

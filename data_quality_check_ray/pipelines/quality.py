@@ -54,12 +54,14 @@ OUTPUT_ORDER = (
 )
 
 
-def pre_stage(batch: pa.Table) -> pa.Table:
+def pre_stage(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
     """Structural schema validation + extraction + row conformance.
 
     Composed into one map_batches body: one pass over the heavy html
-    blocks, which are dropped before the batch leaves the stage."""
-    batch = conforming_table(batch)
+    blocks, which are dropped before the batch leaves the stage.
+    ``schema``: a config-loaded variant of the pages schema (extra
+    passthrough columns allowed) — see ``schema.load_schema_file``."""
+    batch = conforming_table(batch, schema)
     batch = extract_stage(batch)
     batch = conformance_stage(batch)
     # the raw text column is redundant once text_effective exists — drop it
@@ -95,8 +97,37 @@ def build_pipeline(ds, cfg: PipelineConfig | None = None):
     from ..stages.models import QualityModelStage
 
     cfg = cfg or PipelineConfig()
+    schema = None
+    if getattr(cfg, "schema_file", None):
+        from ..schema import load_schema_file
+
+        schema = load_schema_file(cfg.schema_file)  # once, on the driver
+
+    if schema is not None:
+        def pre_with_schema(batch: pa.Table) -> pa.Table:
+            return pre_stage(batch, schema)
+
+        pre_fn = pre_with_schema
+    else:
+        pre_fn = pre_stage
+    if cfg.stage_metrics:
+        inner_pre = pre_fn
+
+        def pre_timed(batch: pa.Table) -> pa.Table:
+            import time as _time
+
+            from ..state.stage_metrics import StageClock, get_collector
+
+            t0 = _time.perf_counter()
+            out = inner_pre(batch)
+            clock = StageClock(get_collector())
+            clock.observe("pre_extract_conform", _time.perf_counter() - t0)
+            clock.flush()
+            return out
+
+        pre_fn = pre_timed
     ds = ds.map_batches(
-        pre_stage, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+        pre_fn, batch_format="pyarrow", batch_size=cfg.extract_batch_size,
         zero_copy_batch=True,
     )
     ds = ds.map_batches(

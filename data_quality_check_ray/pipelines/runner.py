@@ -67,7 +67,14 @@ def _run_partition(p: Partition, cfg: RunConfig) -> dict:
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
-    return partition_metrics(final, p.partition_id, rows_in, time.time() - t0)
+    m = partition_metrics(final, p.partition_id, rows_in, time.time() - t0)
+    if cfg.pipeline.stage_metrics:
+        from ..state.stage_metrics import snapshot_and_reset
+
+        # flushes are synchronous per batch, so everything this partition
+        # observed is in the collector by the time write_parquet returns
+        m["stage_walls"] = snapshot_and_reset()
+    return m
 
 
 def run(cfg: RunConfig) -> dict:

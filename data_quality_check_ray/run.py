@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--concurrency", type=int, default=0,
                     help="fixed model actor-pool size (0 = autoscale)")
     ap.add_argument("--files-per-partition", type=int, default=4)
+    ap.add_argument("--schema-file", default=None,
+                    help="JSON schema config (schema.load_schema_file) to "
+                         "validate a custom pages-table variant")
+    ap.add_argument("--stage-metrics", action="store_true",
+                    help="record per-stage duration histograms into lineage")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="ray.init num_cpus when starting a local session")
     ap.add_argument("--log-level", default="info")
@@ -66,6 +71,8 @@ def main(argv: list[str] | None = None) -> int:
                 extract_batch_size=args.extract_batch_size,
                 model_batch_size=args.model_batch_size,
                 model_concurrency=conc,
+                schema_file=args.schema_file,
+                stage_metrics=args.stage_metrics,
             ),
             files_per_partition=args.files_per_partition,
         )

@@ -65,16 +65,82 @@ OUTPUT_COLUMNS = (
 )
 
 
-def conforming_table(batch: pa.Table) -> pa.Table:
-    """Cast a batch to PAGES_SCHEMA column order/types (round-trip analog of
+def conforming_table(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
+    """Cast a batch to the schema's column order/types (round-trip analog of
     ``serialize_dynamic_message``, dynamic-message/src/lib.rs:261-282).
 
     Raises on unknown columns — batch-level structural violation.
+    ``schema`` defaults to the built-in PAGES_SCHEMA; pass a config-loaded
+    schema (``load_schema_file``) to validate a different table shape
+    without a code change.
     """
-    extra = [c for c in batch.column_names if c not in REQUIRED_COLUMNS]
+    schema = schema or PAGES_SCHEMA
+    names = schema.names
+    extra = [c for c in batch.column_names if c not in names]
     if extra:
         raise ValueError(f"unknown columns not in pages schema: {extra}")
-    missing = [c for c in REQUIRED_COLUMNS if c not in batch.column_names]
+    missing = [c for c in names if c not in batch.column_names]
     if missing:
         raise ValueError(f"missing required columns: {missing}")
-    return batch.select(list(REQUIRED_COLUMNS)).cast(PAGES_SCHEMA)
+    return batch.select(list(names)).cast(schema)
+
+
+# ---------------------------------------------------------------------------
+# config-file-loaded schemas (runtime-extensible, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+#: JSON type names accepted in schema config files -> Arrow types.  The
+#: moral equivalent of the reference's descriptor upload
+#: (data-quality-server/src/handlers.rs:27-78): a NEW table shape becomes
+#: validatable by shipping a config file, not code.
+_ARROW_TYPES = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "bool": pa.bool_(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "date32": pa.date32(),
+}
+
+
+def schema_from_spec(spec: dict) -> pa.Schema:
+    """{'fields': [{'name': ..., 'type': ..., 'nullable': true}, ...]}
+    -> pyarrow.Schema.  ``type`` may be any key of ``_ARROW_TYPES`` or
+    ``list<T>`` for a list column (e.g. ``list<float32>`` embeddings)."""
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("schema spec needs a non-empty 'fields' list")
+    out = []
+    for f in fields:
+        name, tname = f.get("name"), f.get("type")
+        if not name or not tname:
+            raise ValueError(f"schema field needs 'name' and 'type': {f}")
+        if tname.startswith("list<") and tname.endswith(">"):
+            inner = tname[5:-1]
+            if inner not in _ARROW_TYPES:
+                raise ValueError(f"field '{name}': unknown list item type {inner!r}")
+            t = pa.list_(_ARROW_TYPES[inner])
+        elif tname in _ARROW_TYPES:
+            t = _ARROW_TYPES[tname]
+        else:
+            raise ValueError(f"field '{name}': unknown type {tname!r}")
+        out.append(pa.field(name, t, nullable=bool(f.get("nullable", True))))
+    return pa.schema(out)
+
+
+def load_schema_file(path: str) -> pa.Schema:
+    """JSON schema config file -> pyarrow.Schema."""
+    import json
+
+    with open(path) as f:
+        return schema_from_spec(json.load(f))

@@ -55,17 +55,42 @@ class QualityModelStage:
         from ..config import PipelineConfig
         from ..pipelines.quality import make_post_stage
 
-        self._post = make_post_stage(cfg or PipelineConfig())
+        cfg = cfg or PipelineConfig()
+        self._post = make_post_stage(cfg)
         self._langid = LangIdStage()
         self._ppl = PerplexityStage()
+        self._clock = None
+        if getattr(cfg, "stage_metrics", False):
+            from ..state.stage_metrics import StageClock, get_collector
+
+            self._clock = StageClock(get_collector())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.textstats import text_stats, tokenize
 
-        pre = tokenize(batch["text_effective"])  # ONE tokenization pass
-        for name, arr in text_stats(batch["text_effective"], pre=pre).items():
-            batch = batch.append_column(name, pa.array(arr))
-        batch = self._langid(batch)
-        ppl = lm.ppl_batch(batch["text_effective"], pre=pre)
-        batch = batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
-        return self._post(batch)
+        if self._clock is None:
+            pre = tokenize(batch["text_effective"])  # ONE tokenization pass
+            for name, arr in text_stats(batch["text_effective"], pre=pre).items():
+                batch = batch.append_column(name, pa.array(arr))
+            batch = self._langid(batch)
+            ppl = lm.ppl_batch(batch["text_effective"], pre=pre)
+            batch = batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+            return self._post(batch)
+
+        # instrumented path: identical kernels, per-BATCH phase timings
+        # (reference analog: json_validation.rs:62-83 observes around each
+        # validation step)
+        with self._clock.timed("tokenize"):
+            pre = tokenize(batch["text_effective"])
+        with self._clock.timed("heuristics"):
+            for name, arr in text_stats(batch["text_effective"], pre=pre).items():
+                batch = batch.append_column(name, pa.array(arr))
+        with self._clock.timed("langid"):
+            batch = self._langid(batch)
+        with self._clock.timed("perplexity"):
+            ppl = lm.ppl_batch(batch["text_effective"], pre=pre)
+            batch = batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+        with self._clock.timed("scrub_decide"):
+            out = self._post(batch)
+        self._clock.flush()
+        return out

@@ -46,6 +46,8 @@ def partition_metrics(part_dir: str, partition_id: str, rows_in: int, wall_s: fl
 def append_lineage_row(out_dir: str, entry: dict) -> None:
     ld = os.path.join(out_dir, "_lineage")
     os.makedirs(ld, exist_ok=True)
+    import json
+
     t = pa.Table.from_pylist(
         [
             {
@@ -56,6 +58,9 @@ def append_lineage_row(out_dir: str, entry: dict) -> None:
                 "n_kept": entry["n_kept"],
                 "drop_reasons": str(entry["drop_reasons"]),
                 "wall_s": entry["wall_s"],
+                # per-stage duration histograms (state/stage_metrics);
+                # "{}" when stage_metrics is off
+                "stage_walls": json.dumps(entry.get("stage_walls", {})),
             }
         ]
     )

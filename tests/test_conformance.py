@@ -96,3 +96,51 @@ def test_empty_batch_flows_through_decision(quiet_data_context):
     out = QualityModelStage()(pre_stage(t))
     assert out.num_rows == 0
     assert "keep" in out.column_names
+
+
+def test_schema_from_config_file(tmp_path, quiet_data_context):
+    """Schema swap without a code change (SURVEY §2.9): a config-loaded
+    pages-schema variant with an extra passthrough column is accepted by
+    the pipeline, while the built-in schema rejects the same input."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from data_quality_check_ray.config import PipelineConfig
+    from data_quality_check_ray.pipelines.quality import build_pipeline
+    from data_quality_check_ray.schema import load_schema_file, schema_from_spec
+    from data_quality_check_ray.sources import synth
+
+    spec = {"fields": [
+        {"name": "url", "type": "string", "nullable": False},
+        {"name": "warc_ts", "type": "timestamp[us]"},
+        {"name": "html", "type": "binary"},
+        {"name": "text", "type": "large_string"},
+        {"name": "lang", "type": "string"},
+        {"name": "crawl_id", "type": "int64"},
+    ]}
+    p = tmp_path / "pages_v2.json"
+    p.write_text(json.dumps(spec))
+    loaded = load_schema_file(str(p))
+    assert loaded == schema_from_spec(spec)
+    assert not loaded.field("url").nullable
+
+    pages = synth.generate_table(40, seed=3)
+    pages = pages.append_column("crawl_id", pa.array(range(40), type=pa.int64()))
+    ds = rd.from_arrow(pages)
+
+    out = build_pipeline(ds, PipelineConfig(schema_file=str(p))).to_pandas()
+    assert len(out) == 40 and "keep" in out.columns
+
+    with pytest.raises(Exception, match="unknown columns"):
+        build_pipeline(rd.from_arrow(pages), PipelineConfig()).to_pandas()
+
+
+def test_schema_spec_rejects_unknown_type():
+    from data_quality_check_ray.schema import schema_from_spec
+
+    with pytest.raises(ValueError, match="unknown type"):
+        schema_from_spec({"fields": [{"name": "x", "type": "decimal"}]})
+    with pytest.raises(ValueError, match="fields"):
+        schema_from_spec({})

@@ -136,3 +136,39 @@ def test_empty_input_file_partition_completes(tmp_path_factory, quiet_data_conte
     r = run(RunConfig(str(d), str(out), files_per_partition=1))
     assert r["complete"] and r["partitions_total"] == 2
     assert len(_labels(str(out))) == 200
+
+
+def test_stage_metrics_histograms_in_lineage(
+    pages_dir, tmp_path_factory, quiet_data_context
+):
+    """With stage_metrics on, every lineage row carries per-stage duration
+    histograms (the reference's OTel histogram analog, metrics.rs:22-25)."""
+    import json
+
+    from data_quality_check_ray.config import PipelineConfig
+    from data_quality_check_ray.state.stage_metrics import BUCKETS_MS
+
+    out = tmp_path_factory.mktemp("stagemetrics")
+    s = run(RunConfig(pages_dir, str(out), files_per_partition=4,
+                      pipeline=PipelineConfig(stage_metrics=True)))
+    assert s["complete"]
+    lineage = read_lineage(str(out)).to_pandas()
+    assert "stage_walls" in lineage.columns
+    for raw in lineage["stage_walls"]:
+        walls = json.loads(raw)
+        for stage in ("pre_extract_conform", "tokenize", "heuristics",
+                      "langid", "perplexity", "scrub_decide"):
+            h = walls[stage]
+            assert h["count"] >= 1
+            assert h["sum_s"] > 0
+            assert len(h["buckets"]) == len(BUCKETS_MS) + 1
+            assert sum(h["buckets"]) == h["count"]
+
+
+def test_stage_metrics_off_by_default(pages_dir, tmp_path_factory, quiet_data_context):
+    import json
+
+    out = tmp_path_factory.mktemp("nostagemetrics")
+    run(RunConfig(pages_dir, str(out), files_per_partition=4))
+    lineage = read_lineage(str(out)).to_pandas()
+    assert all(json.loads(r) == {} for r in lineage["stage_walls"])
