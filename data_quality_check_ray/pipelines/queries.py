@@ -990,6 +990,119 @@ def q_host_topk(sf_dir: str):
     return host_counts(pages_from_documents(sf_dir), top_k=5)
 
 
+class _ImageStatsStage:
+    """Actor-pool stage: REAL BMP decode (functions/codecs) -> dimensions +
+    exact float64 channel means.  Sums are exact int64, so both divisions
+    are bitwise-reproducible against the oracle's formula."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_image
+
+        h_out, w_out, means = [], [], []
+        for data in b["payload"].to_pylist():
+            img = decode_image(data)
+            h, w = img.shape[:2]
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            h_out.append(h)
+            w_out.append(w)
+            means.append(sums / (h * w) / 255.0)
+        m = np.array(means, dtype=np.float64).reshape(len(h_out), 3)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "height": pa.array(h_out, type=pa.int64()),
+            "width": pa.array(w_out, type=pa.int64()),
+            "mean_r": m[:, 0], "mean_g": m[:, 1], "mean_b": m[:, 2],
+        })
+
+
+def q_image_stats(sf_dir: str):
+    """Real image decode, oracle-checked: two-tone 24-bit BMPs are
+    constructed deterministically from doc_id (widths include
+    non-multiples of 4, exercising BMP row padding), encoded with
+    codecs.encode_bmp, then DECODED back by an actor-pool stage; the
+    DuckDB oracle recomputes dimensions + channel means from the
+    construction formulas — a broken decoder (padding, BGR order,
+    bottom-up rows) diverges immediately."""
+    from ..functions.codecs import encode_bmp
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_numpy(zero_copy_only=False).tolist():
+            h = 3 + i % 29
+            w = 4 + i % 61
+            wa = w // 2
+            a = np.array([i * 37 % 256, i * 59 % 256, i * 83 % 256], np.uint8)
+            bb = np.array([i * 101 % 256, i * 131 % 256, i * 151 % 256], np.uint8)
+            img = np.empty((h, w, 3), np.uint8)
+            img[:, :wa] = a
+            img[:, wa:] = bb
+            payloads.append(encode_bmp(img))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(make, batch_format="pyarrow").map_batches(
+        _ImageStatsStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+class _AudioRmsStage:
+    """Actor-pool stage: REAL WAV decode (stdlib wave) -> sample rate,
+    frame count, first-frame RMS in float64 (exact for square waves)."""
+
+    def __init__(self, frame_len: int = 1024) -> None:
+        self.frame_len = frame_len
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_wav
+
+        rates, n_frames, rms0 = [], [], []
+        for data in b["payload"].to_pylist():
+            rate, _ch, pcm = decode_wav(data)
+            k = len(pcm) // self.frame_len
+            f0 = pcm[: self.frame_len].astype(np.float64)
+            rates.append(rate)
+            n_frames.append(k)
+            rms0.append(float(np.sqrt(np.mean(f0 ** 2))))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "sample_rate": pa.array(rates, type=pa.int64()),
+            "n_frames": pa.array(n_frames, type=pa.int64()),
+            "rms0": pa.array(rms0, type=pa.float64()),
+        })
+
+
+def q_audio_frame_rms(sf_dir: str):
+    """Real audio decode, oracle-checked: ±amp square-wave WAVs (PCM16)
+    constructed from doc_id, round-tripped through the stdlib wave codec;
+    a square wave's RMS is exactly its amplitude, so the oracle recomputes
+    (sample_rate, n_frames, rms0) from the construction formulas."""
+    from ..functions.codecs import encode_wav_pcm16
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_numpy(zero_copy_only=False).tolist():
+            amp = 500 + (i % 97) * 300
+            n = 2048 + (i % 5) * 1024
+            samples = np.empty(n, np.int16)
+            samples[0::2] = amp
+            samples[1::2] = -amp
+            payloads.append(encode_wav_pcm16(samples, rate=16_000))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(make, batch_format="pyarrow").map_batches(
+        _AudioRmsStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1021,6 +1134,8 @@ QUERIES = {
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
     "json_conform": q_json_conform,
+    "image_stats": q_image_stats,
+    "audio_frame_rms": q_audio_frame_rms,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
@@ -1189,6 +1304,41 @@ ORACLE_SQL = {
                    THEN 'type_mismatch:tags'
                  ELSE '' END AS conform_reason
         FROM j
+    """,
+    "image_stats": """
+        -- recompute dimensions + channel means from the BMP construction
+        -- formulas (two-tone image: left half color A, right half B);
+        -- the engine side must round-trip the actual bytes through its
+        -- real decoder to agree
+        WITH x AS (
+            SELECT doc_id,
+                   3 + doc_id % 29 AS h,
+                   4 + doc_id % 61 AS w,
+                   (4 + doc_id % 61) // 2 AS wa,
+                   (doc_id * 37) % 256 AS ar, (doc_id * 59) % 256 AS ag,
+                   (doc_id * 83) % 256 AS ab,
+                   (doc_id * 101) % 256 AS br, (doc_id * 131) % 256 AS bg,
+                   (doc_id * 151) % 256 AS bb
+            FROM documents)
+        SELECT doc_id,
+               CAST(h AS BIGINT) AS height,
+               CAST(w AS BIGINT) AS width,
+               CAST(h * (wa * ar + (w - wa) * br) AS DOUBLE) / (h * w) / 255.0
+                   AS mean_r,
+               CAST(h * (wa * ag + (w - wa) * bg) AS DOUBLE) / (h * w) / 255.0
+                   AS mean_g,
+               CAST(h * (wa * ab + (w - wa) * bb) AS DOUBLE) / (h * w) / 255.0
+                   AS mean_b
+        FROM x
+    """,
+    "audio_frame_rms": """
+        -- a +/-amp square wave's RMS is exactly its amplitude; n_frames
+        -- and sample_rate come from the WAV construction formulas
+        SELECT doc_id,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+               CAST(500 + (doc_id % 97) * 300 AS DOUBLE) AS rms0
+        FROM documents
     """,
     "host_topk": """
         -- pages are a deterministic function of documents

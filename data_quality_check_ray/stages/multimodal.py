@@ -1,9 +1,12 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Real, tested Ray-side plumbing (schema, actor-pool signatures, batch
-sizing, output layout) with the codec itself stubbed: the sandbox has no
-image/audio libraries, so decoders fall back to a clearly-marked
-deterministic fake unless the real library imports (import-try gate).
+Decode paths (functions/codecs.py — numpy + stdlib, no external libs):
+
+  * REAL: 24-bit BMP and binary-P6 PPM images (full decode to pixels,
+    bilinear resize); RIFF PCM16 WAV audio (stdlib ``wave``).
+  * STUBBED: JPEG/PNG/MP3 need external codecs the sandbox lacks; those
+    magics fall back to a clearly-marked deterministic fake (PIL is used
+    when importable).
 
 Scale notes: payload rows are large (images MBs each), so these stages are
 meant to run with SMALL batch_size (32-256) and `target_max_block_size`
@@ -68,14 +71,20 @@ class ImageFeatureStage:
         try:  # pragma: no cover - PIL absent in sandbox
             from PIL import Image  # noqa: F401
 
-            self._real = True
+            self._pil = True
         except ImportError:
-            self._real = False
+            self._pil = False
 
     def _decode(self, data: bytes | None):
         if data is None:
             return None
-        if self._real:  # pragma: no cover
+        from ..functions.codecs import decode_image, sniff_image
+
+        if sniff_image(data) is not None:  # REAL decode: BMP / PPM
+            arr = decode_image(data)
+            h, w = arr.shape[:2]
+            return h, w, 3, arr.reshape(-1, 3).mean(axis=0) / 255.0
+        if self._pil:  # pragma: no cover
             import io
 
             from PIL import Image
@@ -104,12 +113,42 @@ class ImageFeatureStage:
         return batch.append_column("feat", pa.array(list(feats), type=pa.list_(pa.float32())))
 
 
-class AudioFrameStage:
-    """Actor-pool stage: binary audio column -> frame-sampled stats.
+class ImageResizeStage:
+    """Actor-pool stage: decode (BMP/PPM) -> bilinear resize to a fixed
+    (out_h, out_w) -> re-encode as BMP.  The standard normalize-resolution
+    preprocessing step of an image training pipeline, all real numpy."""
 
-    STUB codec (no soundfile/librosa in sandbox): treats the payload as
-    raw int16 PCM; real plumbing = frame segmentation + per-frame RMS
-    (list<float>) with ``frame_len`` samples per frame.
+    def __init__(self, out_h: int = 32, out_w: int = 32,
+                 payload_col: str = "payload", out_col: str = "payload_resized") -> None:
+        self.out_h, self.out_w = out_h, out_w
+        self.payload_col, self.out_col = payload_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import (
+            decode_image,
+            encode_bmp,
+            resize_bilinear,
+            sniff_image,
+        )
+
+        out = []
+        for data in batch[self.payload_col].to_pylist():
+            if data is None or sniff_image(data) is None:
+                out.append(None)
+                continue
+            img = resize_bilinear(decode_image(data), self.out_h, self.out_w)
+            out.append(encode_bmp(np.ascontiguousarray(img)))
+        return batch.append_column(self.out_col, pa.array(out, type=pa.binary()))
+
+
+class AudioFrameStage:
+    """Actor-pool stage: binary audio column -> frame-sampled stats
+    (n_frames, sample_rate, per-frame RMS list<float>).
+
+    REAL codec for RIFF/WAV PCM16 (functions/codecs.decode_wav via the
+    stdlib ``wave`` module); non-WAV payloads fall back to raw-int16-PCM
+    interpretation (sample_rate 0 = unknown).  Compressed formats
+    (mp3/ogg) would need external libraries.
     """
 
     def __init__(self, payload_col: str = "payload", frame_len: int = 1024) -> None:
@@ -117,16 +156,28 @@ class AudioFrameStage:
         self.frame_len = frame_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_frames, rms = [], []
+        from ..functions.codecs import decode_wav
+
+        n_frames, rates, rms = [], [], []
         for data in batch[self.payload_col].to_pylist():
             if data is None or len(data) < 2:
                 n_frames.append(0)
+                rates.append(0)
                 rms.append([])
                 continue
-            pcm = np.frombuffer(data[: len(data) - len(data) % 2], dtype=np.int16).astype(np.float32)
+            if data[:4] == b"RIFF":
+                rate, _ch, pcm16 = decode_wav(data)
+                pcm = pcm16.astype(np.float32)
+            else:  # raw PCM fallback (rate unknown)
+                rate = 0
+                pcm = np.frombuffer(
+                    data[: len(data) - len(data) % 2], dtype=np.int16
+                ).astype(np.float32)
             k = max(1, len(pcm) // self.frame_len)
             frames = np.array_split(pcm[: k * self.frame_len], k)
             n_frames.append(k)
+            rates.append(rate)
             rms.append([float(np.sqrt(np.mean(f**2))) for f in frames])
         batch = batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
+        batch = batch.append_column("sample_rate", pa.array(rates, type=pa.int32()))
         return batch.append_column("frame_rms", pa.array(rms, type=pa.list_(pa.float32())))

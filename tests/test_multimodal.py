@@ -67,3 +67,96 @@ def test_audio_stage_frames():
     assert out["n_frames"][0].as_py() == 4
     assert len(out["frame_rms"][0].as_py()) == 4
     assert out["n_frames"][1].as_py() == 0
+
+
+def test_bmp_ppm_roundtrip_exact():
+    """Real codecs: decode(encode(img)) is bit-exact, including BMP row
+    padding for widths not a multiple of 4."""
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    rs = np.random.RandomState(0)
+    for h, w in ((1, 1), (3, 5), (7, 4), (13, 13), (64, 31)):
+        img = rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    s = np.random.RandomState(1).randint(-32768, 32767, 4801).astype(np.int16)
+    rate, ch, out = codecs.decode_wav(codecs.encode_wav_pcm16(s, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out, s)
+
+
+def test_resize_bilinear_properties():
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    solid = np.full((5, 7, 3), 100, np.uint8)
+    assert (codecs.resize_bilinear(solid, 10, 14) == 100).all()
+    # 2x2 checkerboard downscaled to 1x1 = the average
+    cb = np.array([[[0], [200]], [[200], [0]]], dtype=np.float32)
+    assert abs(float(codecs.resize_bilinear(cb, 1, 1)[0, 0, 0]) - 100.0) < 1e-5
+
+
+def test_image_stage_real_decode(quiet_data_context):
+    """BMP payloads flow through ImageFeatureStage's REAL decode path:
+    dimensions and channel means must match the constructed image."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.codecs import encode_bmp
+    from data_quality_check_ray.stages.multimodal import ImageFeatureStage
+
+    img = np.zeros((10, 6, 3), np.uint8)
+    img[:, :, 0] = 255  # pure red
+    t = pa.table({"payload": pa.array([encode_bmp(img)], type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert out.loc[0, "height"] == 10 and out.loc[0, "width"] == 6
+    r, g, b = out.loc[0, "mean_rgb"]
+    assert abs(r - 1.0) < 1e-6 and g == 0.0 and b == 0.0
+
+
+def test_image_resize_stage(quiet_data_context):
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.codecs import decode_bmp, encode_bmp
+    from data_quality_check_ray.stages.multimodal import ImageResizeStage
+
+    img = np.full((20, 14, 3), 77, np.uint8)
+    t = pa.table({"payload": pa.array([encode_bmp(img), None], type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    resized = decode_bmp(out.loc[0, "payload_resized"])
+    assert resized.shape == (8, 8, 3) and (resized == 77).all()
+    assert out.loc[1, "payload_resized"] is None
+
+
+def test_audio_stage_wav_decode(quiet_data_context):
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.codecs import encode_wav_pcm16
+    from data_quality_check_ray.stages.multimodal import AudioFrameStage
+
+    amp = 1000
+    s = np.empty(2048, np.int16); s[0::2] = amp; s[1::2] = -amp
+    t = pa.table({"payload": pa.array([encode_wav_pcm16(s, 22050)], type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        AudioFrameStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert out.loc[0, "sample_rate"] == 22050
+    assert out.loc[0, "n_frames"] == 2
+    assert all(abs(r - amp) < 0.5 for r in out.loc[0, "frame_rms"])
