@@ -990,6 +990,22 @@ def q_host_topk(sf_dir: str):
     return host_counts(pages_from_documents(sf_dir), top_k=5)
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling (functions/sampling): keep rows
+    by a pure hash of the row key with per-language rates — reproducible
+    and shuffle-free at any scale.  md5 mode makes the exact kept set
+    oracle-checkable against DuckDB."""
+    from ..functions.sampling import deterministic_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return deterministic_sample(
+        ds, "doc_id", strat_col="lang",
+        rate_by={"en": 0.5, "de": 0.25, "fr": 0.25},
+        default_rate=0.125, mode="md5",
+    )
+
+
 class _ImageStatsStage:
     """Actor-pool stage: REAL BMP decode (functions/codecs) -> dimensions +
     exact float64 channel means.  Sums are exact int64, so both divisions
@@ -1134,6 +1150,7 @@ QUERIES = {
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
     "json_conform": q_json_conform,
+    "sample_stratified": q_sample_stratified,
     "image_stats": q_image_stats,
     "audio_frame_rms": q_audio_frame_rms,
     "pages_pipeline": q_pages_pipeline,
@@ -1304,6 +1321,17 @@ ORACLE_SQL = {
                    THEN 'type_mismatch:tags'
                  ELSE '' END AS conform_reason
         FROM j
+    """,
+    "sample_stratified": """
+        -- first md5 byte as the sampling bucket: rate r keeps buckets
+        -- < round(r*256); thresholds 0.5->'80', 0.25->'40', 0.125->'20'
+        -- (lexicographic compare of two lowercase hex chars == numeric)
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE lang WHEN 'en' THEN '80'
+                        WHEN 'de' THEN '40'
+                        WHEN 'fr' THEN '40'
+                        ELSE '20' END
     """,
     "image_stats": """
         -- recompute dimensions + channel means from the BMP construction
