@@ -881,25 +881,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     sizes_pdf = sh_rows.groupby("doc_id").count().to_pandas()
     sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["count()"]))
 
-    # collect doc lists per shingle with a mergeable aggregate (ONE hash
-    # aggregate instead of per-group map_groups calls), then expand pairs
-    # vectorized over the collected rows
-    from ray.data.aggregate import AggregateFn
+    # expand co-occurrence pairs partition-wise (stages/dedup.grouped_pairs:
+    # hash-partition by shingle id, vectorized run expansion per partition —
+    # no per-shingle Python accumulators); pair MULTIPLICITY = number of
+    # shared shingles = the intersection size the Jaccard needs
+    from ..stages.dedup import grouped_pairs
 
-    collect = AggregateFn(
-        init=lambda k: [],
-        accumulate_row=lambda acc, row: (acc.append(row["doc_id"]) or acc),
-        merge=lambda a, b: a + b,
-        name="docs",
-    )
-    collected = sh_rows.groupby("shid").aggregate(collect)
-
-    from ..stages.dedup import expand_doc_pairs
-
-    pair_batches = collected.map_batches(
-        lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=None),
-        batch_format="pyarrow",
-    )
+    pair_batches = grouped_pairs(sh_rows, key_col="shid", id_col="doc_id",
+                                 cap=None)
 
     # final reduction on the driver: the pair stream is ~16 bytes/pair and
     # provably small (bounded by shingle co-occurrence); a distributed

@@ -275,6 +275,57 @@ def expand_doc_pairs(doc_lists, cap: int | None = None) -> pa.Table:
     return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
+def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
+                  num_parts: int = 64):
+    """(key, id) rows -> Dataset of unique unordered candidate (a, b)
+    pairs per key (a < b).
+
+    Partition-wise expansion: rows are hash-partitioned by ``key`` (every
+    row of a key lands in ONE partition), then each partition expands its
+    key-runs with vectorized numpy — ``num_parts`` UDF calls total instead
+    of one Python accumulator per group (a 10^8-bucket corpus would
+    otherwise allocate 10^8 driver-side lists inside the aggregate).
+    ``cap`` skips degenerate giant groups (the LSH bucket cap)."""
+    from .joins import _bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: b[key_col],
+            id_col: b[id_col],
+            "__part": _bucket_of(keys, num_parts),
+        })
+
+    def expand(g: pa.Table) -> pa.Table:
+        bk = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        ends = np.concatenate([starts[1:], [len(bk)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            u = ids[s:e]
+            u = u[np.concatenate([[True], u[1:] != u[:-1]])]  # sorted-unique
+            if len(u) < 2 or (cap is not None and len(u) > cap):
+                continue
+            ii, jj = np.triu_indices(len(u), k=1)
+            out_a.append(u[ii])
+            out_b.append(u[jj])
+        if not out_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+
+
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   threshold: float = 0.8, pair_limit: int = 100_000):
     """Near-dup assignment: -> Dataset(doc_id, rep_id, is_dup).
@@ -308,23 +359,11 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         )
         return pa.table({"bucket": key, "doc_id": b["doc_id"]})
 
-    from ray.data.aggregate import AggregateFn
-
-    collect = AggregateFn(
-        init=lambda k: [],
-        accumulate_row=lambda acc, row: (acc.append(row["doc_id"]) or acc),
-        merge=lambda a, b: a + b,
-        name="docs",
-    )
-    collected = (
-        bands.map_batches(combine_key, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(collect)
-    )
-
-    pairs_ds = collected.map_batches(
-        lambda b: expand_doc_pairs(b["docs"].to_pylist(), cap=200),
-        batch_format="pyarrow",
+    # partition-wise pair expansion (grouped_pairs): no per-bucket Python
+    # accumulators, one vectorized UDF call per hash partition
+    pairs_ds = grouped_pairs(
+        bands.map_batches(combine_key, batch_format="pyarrow"),
+        key_col="bucket", id_col="doc_id", cap=200,
     ).materialize()
 
     if pairs_ds.count() > pair_limit:
