@@ -179,13 +179,17 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
 
 
 def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
-                      right_cols: list[str], suffix: str = "_asof"):
+                      right_cols: list[str], suffix: str = "_asof",
+                      num_parts: int = 64):
     """As-of join: for each left row, the most recent right row with
     ``right.ts <= left.ts`` within the same key group.
 
-    Implementation: tag + union (one shuffle), then per-key
-    ``pd.merge_asof`` over ts-sorted groups — the documented partitioning
-    assumption is that one key group fits a worker (salt hot keys
+    Implementation: tag + union (one shuffle), hash-partitioned by key
+    into ``num_parts`` partitions (every key's rows in ONE partition),
+    then a single ts-sorted ``pd.merge_asof(..., by=key)`` per partition —
+    ``num_parts`` UDF calls instead of one pandas round-trip per key
+    group.  The documented partitioning assumption is that one partition
+    fits a worker (raise ``num_parts`` with data size; salt hot keys
     otherwise).
     """
     lschema = left_ds.schema()
@@ -219,8 +223,12 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
             out = out.set_column(
                 out.column_names.index(key), key, b[key].combine_chunks()
             )
-            return out.append_column(
+            out = out.append_column(
                 "__side", pa.array(np.full(len(b), side), type=pa.bool_())
+            )
+            keys = out[key].to_numpy(zero_copy_only=False)
+            return out.append_column(
+                "__part", pa.array(_bucket_of(keys, num_parts))
             )
         return f
 
@@ -233,15 +241,27 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
     ts_r = ts + suffix
 
     def merge(g: pa.Table) -> pd.DataFrame:
+        # one call per PARTITION: merge_asof(by=key) handles every key in
+        # the partition in a single pass over the ts-sorted frames.
         # filter sides in ARROW first: after the split each side's own
         # columns are null-free, so int64 ids stay int64 through to_pandas
         is_l = g["__side"]
-        l = g.filter(is_l).select(lcols).to_pandas().sort_values(ts, kind="mergesort")
-        r = g.filter(pc.invert(is_l)).select(r_out).to_pandas().sort_values(
-            ts_r, kind="mergesort"
+        l = g.filter(is_l).select(lcols).to_pandas().sort_values(
+            ts, kind="mergesort"
         )
+        r = g.filter(pc.invert(is_l)).select([key] + r_out).to_pandas()
+        r = r.rename(columns={key: "__rkey"}).sort_values(ts_r, kind="mergesort")
         if l.empty:
             return pd.DataFrame()
-        return pd.merge_asof(l, r, left_on=ts, right_on=ts_r)
+        if r.empty:
+            out = l.copy()
+            for c in r_out:
+                out[c] = pd.Series([None] * len(out), dtype=object).astype(
+                    r.dtypes[c], errors="ignore"
+                )
+            return out
+        return pd.merge_asof(
+            l, r, left_on=ts, right_on=ts_r, left_by=key, right_by="__rkey"
+        ).drop(columns=["__rkey"])
 
-    return both.groupby(key).map_groups(merge, batch_format="pyarrow")
+    return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
