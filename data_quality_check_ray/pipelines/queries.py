@@ -932,21 +932,41 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 def q_user_sessions(sf_dir: str):
     """Session windows per user (30-min inactivity gap) — the streaming
-    sessionization recast as groupby(key).map_groups over ts-sorted groups
-    (bounded data => no watermarks; ray_guide.md streaming section)."""
+    sessionization recast as a hash-partitioned vectorized kernel: every
+    user's rows land in ONE partition (bounded data => no watermarks;
+    ray_guide.md streaming section), and each partition sessionizes ALL
+    its users in one lexsort + boolean pass — no per-user UDF calls."""
+    from ..stages.joins import _bucket_of
+
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > 1_800_000_000).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions],
-             "n_events": [len(g)]}
-        )
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("__part", pa.array(_bucket_of(uid, 64)))
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        # a session starts at a user's first event or after a >30-min gap
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap = np.concatenate([[0], t[1:] - t[:-1]])
+        starts = new_user | (gap > 1_800_000_000)
+        uniq, inv, counts = np.unique(u, return_inverse=True, return_counts=True)
+        n_sessions = np.bincount(inv[starts], minlength=len(uniq))
+        return pa.table({
+            "user_id": uniq,
+            "n_sessions": n_sessions.astype(np.int64),
+            "n_events": counts.astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sess_part, batch_format="pyarrow")
+    )
 
 
 def q_embed_dup_pairs(sf_dir: str):
