@@ -62,13 +62,80 @@ def build_tables() -> tuple[np.ndarray, np.ndarray]:
     return uni, pair
 
 
-def bigram_logp(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-    """Vectorized logP(w2|w1) for hashed token id arrays."""
-    uni, pair = build_tables()
+def bigram_logp(h1: np.ndarray, h2: np.ndarray, tables=None) -> np.ndarray:
+    """Vectorized logP(w2|w1) for hashed token id arrays.  ``tables``
+    overrides the closed-form package tables with corpus-trained ones
+    (``train_tables``)."""
+    uni, pair = tables if tables is not None else build_tables()
     return np.log(
         (pair[_pair_slot(h1.astype(np.int64), h2.astype(np.int64))] + ALPHA)
         / (uni[h1] + ALPHA * H)
     )
+
+
+def _bigram_slots_batch(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batch -> (h1 unigram ids of bigram heads, pair slots) — the shared
+    counting kernel of training and scoring (same tokenize + hash path as
+    ppl_batch, so a trained model scores exactly what it counted)."""
+    from .textstats import tokenize
+
+    _, _, woff, norm = tokenize(texts)
+    dct = norm.dictionary_encode()
+    uniq = dct.dictionary.to_pylist()
+    uniq_hash = np.array([token_hash(t) for t in uniq], dtype=np.int64)
+    codes = np.asarray(dct.indices, dtype=np.int64)
+    th = uniq_hash[codes] if len(codes) else np.empty(0, dtype=np.int64)
+    if len(th) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    row_ids = row_ids_from_offsets(woff)
+    same_row = row_ids[:-1] == row_ids[1:]
+    h1 = th[:-1][same_row]
+    h2 = th[1:][same_row]
+    return h1, _pair_slot(h1, h2)
+
+
+def train_tables(ds, text_col: str = "text"):
+    """Distributed KenLM-style counting: -> (uni float64[H], pair
+    float64[PAIR_M]) trained on a Dataset's text column.
+
+    Shape: per-batch sparse partial counts over hashed slots (np.unique —
+    vectorized, no Python per token) -> ONE coalesced combine -> dense
+    tables.  The exchange carries only (slot, count) partials, bounded by
+    distinct-slots-per-block; at petabyte scale insert a tree combine
+    (groupby(slot % K) level) before the final merge.
+    """
+    import pyarrow as pa_
+
+    def partial(b: pa_.Table) -> pa_.Table:
+        h1, slots = _bigram_slots_batch(b[text_col])
+        u, uc = np.unique(h1, return_counts=True)
+        p, pc_ = np.unique(slots, return_counts=True)
+        return pa_.table({
+            "kind": np.concatenate([np.zeros(len(u), np.int8),
+                                    np.ones(len(p), np.int8)]),
+            "slot": np.concatenate([u, p]),
+            "c": np.concatenate([uc, pc_]).astype(np.int64),
+        })
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(
+            lambda t: t.group_by(["kind", "slot"]).aggregate([("c", "sum")]),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    t = pa.concat_tables(
+        combined.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    slot = t["slot"].to_numpy(zero_copy_only=False)
+    c = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    uni = np.zeros(H, dtype=np.float64)
+    pair = np.zeros(PAIR_M, dtype=np.float64)
+    uni[slot[kind == 0]] = c[kind == 0]
+    pair[slot[kind == 1]] = c[kind == 1]
+    return uni, pair
 
 
 def ppl_scalar(text: str) -> np.float32:
@@ -82,11 +149,14 @@ def ppl_scalar(text: str) -> np.float32:
     return np.float32(np.exp(-mean))
 
 
-def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None) -> np.ndarray:
+def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None,
+              tables=None) -> np.ndarray:
     """Vectorized batch perplexity -> float32[n].
 
     ``pre`` is an optional ``textstats.tokenize(...)`` result (shared
-    tokenization in the fused model stage)."""
+    tokenization in the fused model stage); ``tables`` optionally scores
+    with corpus-trained counts (``train_tables``) instead of the pinned
+    closed-form model."""
     from .textstats import tokenize
 
     _, _, woff, norm = pre if pre is not None else tokenize(texts)
@@ -108,7 +178,7 @@ def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None) -> np.ndarray:
     same_row = row_ids[:-1] == row_ids[1:]
     if not same_row.any():
         return out
-    lp_all = bigram_logp(th[:-1][same_row], th[1:][same_row])
+    lp_all = bigram_logp(th[:-1][same_row], th[1:][same_row], tables=tables)
     bg_counts = np.maximum(n_words - 1, 0)
     bgoff = np.concatenate([[0], np.cumsum(bg_counts)]).astype(np.int64)
     sums = segment_sum_sequential(lp_all, bgoff)

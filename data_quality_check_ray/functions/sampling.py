@@ -88,3 +88,23 @@ def deterministic_sample(ds, id_col: str, rate: float | None = None,
         return b.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mix_datasets(sources, mode: str = "fast"):
+    """Reproducible data mixture: ``sources`` is a list of
+    ``(ds, id_col, rate)`` — each source is deterministically subsampled
+    at its weight (pure key-hash, no RNG) and the results are unioned.
+
+    The training-data "mixture" step (X% web, Y% code, Z% reference) as a
+    shuffle-free streaming operator: reruns reproduce the exact row set,
+    and growing a weight yields a superset of the previous mixture (hash
+    thresholds are nested).  Schemas must already be aligned by the
+    caller."""
+    if not sources:
+        raise ValueError("mix_datasets needs at least one source")
+    sampled = [deterministic_sample(ds, id_col, rate=r, mode=mode)
+               for ds, id_col, r in sources]
+    out = sampled[0]
+    for s in sampled[1:]:
+        out = out.union(s)
+    return out

@@ -1084,6 +1084,64 @@ def q_host_topk(sf_dir: str):
     return host_counts(pages_from_documents(sf_dir), top_k=5)
 
 
+def q_bigram_counts(sf_dir: str):
+    """Top-100 word bigrams by frequency — the counting core of n-gram LM
+    training (functions/lm.train_tables uses the same kernel with hashed
+    slots).  Fully vectorized: one tokenize pass, dictionary codes packed
+    into an int64 pair key, np.unique partials per block, one combine.
+    Normalization matches the LM: lower + strip '.,!?;:'."""
+    from ..functions.segments import row_ids_from_offsets
+    from ..functions.textstats import tokenize
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, _, woff, norm = tokenize(b["text"])
+        dct = norm.dictionary_encode()
+        codes = np.asarray(dct.indices, dtype=np.int64)
+        if len(codes) < 2:
+            return pa.table({"bigram": pa.array([], type=pa.large_string()),
+                             "n": pa.array([], type=pa.int64())})
+        row_ids = row_ids_from_offsets(woff)
+        same = row_ids[:-1] == row_ids[1:]
+        c1, c2 = codes[:-1][same], codes[1:][same]
+        base = np.int64(int(codes.max()) + 1)
+        packed, counts = np.unique(c1 * base + c2, return_counts=True)
+        w = dct.dictionary
+        s1 = pc.take(w, pa.array(packed // base))
+        s2 = pc.take(w, pa.array(packed % base))
+        bg = pc.binary_join_element_wise(
+            pc.cast(s1, pa.large_string()), pc.cast(s2, pa.large_string()),
+            pa.scalar(" ", pa.large_string()),
+        )
+        return pa.table({"bigram": bg, "n": counts.astype(np.int64)})
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("bigram").aggregate([("n", "sum")])
+        return pa.table({"bigram": g["bigram"], "n": g["n_sum"]})
+
+    out = _partial_combine(ds, partial, combine)
+    return out.sort(["n", "bigram"], descending=[True, False]).limit(100)
+
+
+def q_normalize_nfc(sf_dir: str):
+    """Unicode NFC normalization (functions/normalize): ASCII rows skip
+    the Python path entirely via a vectorized prefilter; parity with
+    DuckDB nfc_normalize is exact."""
+    from ..functions.normalize import nfc_normalize_column
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        normed, changed = nfc_normalize_column(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text_nfc": normed,
+                         "changed": changed})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling (functions/sampling): keep rows
     by a pure hash of the row key with per-language rates — reproducible
@@ -1098,6 +1156,34 @@ def q_sample_stratified(sf_dir: str):
         rate_by={"en": 0.5, "de": 0.25, "fr": 0.25},
         default_rate=0.125, mode="md5",
     )
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic cross-table data mixture (functions/sampling
+    .mix_datasets): documents at 25% + events at 12.5%, each subsampled by
+    a pure key hash and unioned — the reproducible mixture step of a
+    training-data pipeline, oracle-checked via UNION ALL of hash-sampled
+    selects."""
+    from ..functions.sampling import mix_datasets
+
+    rd = _rd()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = docs.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(["documents"] * len(b), type=pa.string()),
+            "id": b["doc_id"],
+        }),
+        batch_format="pyarrow",
+    )
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ev = ev.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(["events"] * len(b), type=pa.string()),
+            "id": b["event_id"],
+        }),
+        batch_format="pyarrow",
+    )
+    return mix_datasets([(docs, "id", 0.25), (ev, "id", 0.125)], mode="md5")
 
 
 class _ImageStatsStage:
@@ -1244,7 +1330,10 @@ QUERIES = {
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
     "json_conform": q_json_conform,
+    "bigram_counts": q_bigram_counts,
+    "normalize_nfc": q_normalize_nfc,
     "sample_stratified": q_sample_stratified,
+    "mixture_sample": q_mixture_sample,
     "image_stats": q_image_stats,
     "audio_frame_rms": q_audio_frame_rms,
     "pages_pipeline": q_pages_pipeline,
@@ -1416,6 +1505,31 @@ ORACLE_SQL = {
                  ELSE '' END AS conform_reason
         FROM j
     """,
+    "bigram_counts": """
+        -- adjacent word pairs over the whitespace token sequence, each
+        -- token normalized like the LM (lower + trim '.,!?;:')
+        WITH w AS (
+            SELECT list_transform(
+                       regexp_split_to_array(
+                           trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11)), '\\s+'),
+                       x -> trim(lower(x), '.,!?;:')) AS ws
+            FROM documents
+            WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                             || chr(12) || chr(11)) != ''),
+        b AS (
+            SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+            FROM w, UNNEST(range(1, len(ws))) AS t(i))
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 100
+    """,
+    "normalize_nfc": """
+        SELECT doc_id,
+               nfc_normalize(text) AS text_nfc,
+               nfc_normalize(text) != text AS changed
+        FROM documents
+    """,
     "sample_stratified": """
         -- first md5 byte as the sampling bucket: rate r keeps buckets
         -- < round(r*256); thresholds 0.5->'80', 0.25->'40', 0.125->'20'
@@ -1426,6 +1540,13 @@ ORACLE_SQL = {
                         WHEN 'de' THEN '40'
                         WHEN 'fr' THEN '40'
                         ELSE '20' END
+    """,
+    "mixture_sample": """
+        SELECT 'documents' AS src, doc_id AS id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        UNION ALL
+        SELECT 'events' AS src, event_id AS id FROM events
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '20'
     """,
     "image_stats": """
         -- recompute dimensions + channel means from the BMP construction

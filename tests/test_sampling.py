@@ -73,3 +73,23 @@ def test_dataset_operator(quiet_data_context):
     ).to_pandas()
     assert set(out["lang"]) == {"en"}
     assert abs(len(out) / 2000 - 0.5) < 0.05
+
+
+def test_mix_datasets(quiet_data_context):
+    import ray.data as rd
+
+    a = pd.DataFrame({"id": np.arange(2000), "src": "a"})
+    b = pd.DataFrame({"id": np.arange(2000), "src": "b"})
+    from data_quality_check_ray.functions.sampling import mix_datasets
+
+    out = mix_datasets(
+        [(rd.from_pandas(a), "id", 0.5), (rd.from_pandas(b), "id", 0.25)],
+        mode="fast",
+    ).to_pandas()
+    fa = (out["src"] == "a").sum() / 2000
+    fb = (out["src"] == "b").sum() / 2000
+    assert abs(fa - 0.5) < 0.04 and abs(fb - 0.25) < 0.04
+    # same key kept in BOTH sources when both rates pass its hash:
+    # mixture is key-pure, not row-position dependent
+    with pytest.raises(ValueError):
+        mix_datasets([])
