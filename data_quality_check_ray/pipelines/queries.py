@@ -1158,6 +1158,36 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_events_in_windows(sf_dir: str):
+    """Range join (stages/joins.interval_tag): events tagged with the
+    irregular maintenance window containing their timestamp — broadcast
+    interval table + one searchsorted per batch, no shuffle — then counts
+    per window (empty windows included, left-join semantics)."""
+    from ..stages.joins import interval_tag
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    day_us = 86_400_000_000
+    i = np.arange(10, dtype=np.int64)
+    starts = base + (3 * i + i % 2) * day_us
+    ends = starts + (1 + i % 2) * day_us
+    tagged = interval_tag(ds, "ts", starts, ends, labels=i)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["window_id"].to_numpy(zero_copy_only=False)
+        w = w[~np.isnan(w.astype(np.float64))].astype(np.int64) \
+            if w.dtype != np.int64 else w
+        c = np.bincount(w, minlength=10)
+        return pa.table({"window_id": i, "c": c.astype(np.int64)})
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("window_id").aggregate([("c", "sum")])
+        return pa.table({"window_id": g["window_id"], "n_events": g["c_sum"]})
+
+    return _partial_combine(tagged, partial, combine)
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic cross-table data mixture (functions/sampling
     .mix_datasets): documents at 25% + events at 12.5%, each subsampled by
@@ -1333,6 +1363,7 @@ QUERIES = {
     "bigram_counts": q_bigram_counts,
     "normalize_nfc": q_normalize_nfc,
     "sample_stratified": q_sample_stratified,
+    "events_in_windows": q_events_in_windows,
     "mixture_sample": q_mixture_sample,
     "image_stats": q_image_stats,
     "audio_frame_rms": q_audio_frame_rms,
@@ -1540,6 +1571,21 @@ ORACLE_SQL = {
                         WHEN 'de' THEN '40'
                         WHEN 'fr' THEN '40'
                         ELSE '20' END
+    """,
+    "events_in_windows": """
+        -- range join: irregular non-overlapping windows
+        -- [base + (3i + i%2) d, + (1 + i%2) d) for i in 0..9, with gaps
+        WITH w AS (
+            SELECT i,
+                   TIMESTAMP '2024-01-01'
+                     + INTERVAL (3 * i + i % 2) DAY AS s,
+                   TIMESTAMP '2024-01-01'
+                     + INTERVAL (3 * i + i % 2 + 1 + i % 2) DAY AS e
+            FROM range(0, 10) t(i))
+        SELECT w.i AS window_id,
+               CAST(count(ev.ts) AS BIGINT) AS n_events
+        FROM w LEFT JOIN events ev ON ev.ts >= w.s AND ev.ts < w.e
+        GROUP BY 1
     """,
     "mixture_sample": """
         SELECT 'documents' AS src, doc_id AS id FROM documents

@@ -178,6 +178,49 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
+def interval_tag(ds, ts_col: str, starts: np.ndarray, ends: np.ndarray,
+                 labels: np.ndarray, out_col: str = "window_id"):
+    """Range join against a broadcast interval table: tag each row with
+    the label of the interval containing its timestamp (null outside all
+    intervals).
+
+    Intervals must be sorted and non-overlapping (validated here).  The
+    small side ships once via ``ray.put``; the per-batch probe is one
+    ``np.searchsorted`` — no shuffle, no per-row Python.  For interval
+    tables too big to broadcast, range-partition both sides on time and
+    apply this per partition.
+    """
+    import ray
+
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    labels = np.asarray(labels)
+    if not (len(starts) == len(ends) == len(labels)):
+        raise ValueError("starts/ends/labels must align")
+    if (np.diff(starts) < 0).any():
+        raise ValueError("intervals must be sorted by start")
+    if (ends <= starts).any():
+        raise ValueError("empty/negative interval")
+    if (starts[1:] < ends[:-1]).any():
+        raise ValueError("overlapping intervals (tag would be ambiguous)")
+    ref = ray.put((starts, ends, labels))
+
+    def tag(b: pa.Table) -> pa.Table:
+        s, e, lb = ray.get(ref)
+        ts = b[ts_col].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(s, ts, side="right") - 1
+        inside = (idx >= 0) & (ts < e[np.clip(idx, 0, len(e) - 1)])
+        vals = lb[np.clip(idx, 0, len(lb) - 1)]
+        col = pa.array(
+            np.where(inside, vals, 0), type=pa.int64()
+        ) if np.issubdtype(lb.dtype, np.integer) else pa.array(vals)
+        col = pc.if_else(pa.array(inside), col, pa.nulls(len(b), col.type))
+        return b.append_column(out_col, col)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
                       right_cols: list[str], suffix: str = "_asof",
                       num_parts: int = 64):

@@ -218,3 +218,30 @@ def test_simhash_scale_path_preserves_int64(quiet_data_context):
     assert out["doc_id"].dtype == np.int64
     assert out["doc_id"].tolist() == [big, big + 1, big + 2]
     assert out["rep_id"].tolist() == [big, big, big + 2]
+
+
+def test_interval_tag_range_join(quiet_data_context):
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.joins import interval_tag
+
+    ts = pd.to_datetime([5, 15, 25, 35, 45], unit="s")
+    df = pd.DataFrame({"ts": ts, "x": np.arange(5)})
+    starts = np.array([0, 20, 40]) * 1_000_000   # us
+    ends = np.array([10, 30, 42]) * 1_000_000
+    out = interval_tag(
+        rd.from_pandas(df).repartition(2), "ts", starts, ends,
+        labels=np.array([100, 200, 300]),
+    ).to_pandas().sort_values("x")
+    assert out["window_id"].fillna(-1).tolist() == [100, -1, 200, -1, -1]
+
+    # validation: overlapping / unsorted / empty intervals rejected
+    with pytest.raises(ValueError, match="overlap"):
+        interval_tag(rd.from_pandas(df), "ts",
+                     np.array([0, 5]), np.array([10, 15]), np.array([1, 2]))
+    with pytest.raises(ValueError, match="sorted"):
+        interval_tag(rd.from_pandas(df), "ts",
+                     np.array([20, 0]), np.array([30, 10]), np.array([1, 2]))
+    with pytest.raises(ValueError, match="interval"):
+        interval_tag(rd.from_pandas(df), "ts",
+                     np.array([0]), np.array([0]), np.array([1]))
