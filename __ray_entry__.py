@@ -29,7 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles with matching column names; model/sketch queries
     (pages_pipeline, langid_documents, minhash_dedup, simhash_dedup,
-    host_topk) are rows-only by design."""
+    approx_distinct_users) are rows-only by design — no SQL equivalent."""
     from data_quality_check_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -1158,6 +1158,45 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def _topk_per_group(t: pa.Table, group_col: str, sort_col: str,
+                    id_col: str, k: int) -> pa.Table:
+    """Vectorized per-table top-k within each group: one lexsort by
+    (group, -sort, id), then run-position masking — no per-group Python."""
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    s = t[sort_col].to_numpy(zero_copy_only=False)
+    i = t[id_col].to_numpy(zero_copy_only=False)
+    codes, ginv = np.unique(g, return_inverse=True)
+    order = np.lexsort((i, -s, ginv))
+    gi = ginv[order]
+    # rank within group = position since the group's run started
+    starts = np.concatenate([[0], np.flatnonzero(gi[1:] != gi[:-1]) + 1])
+    pos = np.arange(len(gi)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(gi)]])))
+    keep = order[pos < k]
+    return t.take(pa.array(np.sort(keep)))
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: the 3 longest documents per language (ties broken by
+    doc_id) — per-block vectorized top-k partials, then one combine over
+    the bounded (langs x blocks x k) candidate set.  The distributed-top-k
+    decomposition: a global top-k per group only needs each block's local
+    top-k."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _topk_per_group(b, "lang", "n_chars", "doc_id", 3)
+
+    def combine(b: pa.Table) -> pa.Table:
+        out = _topk_per_group(b, "lang", "n_chars", "doc_id", 3)
+        return out.select(["lang", "doc_id", "n_chars"])
+
+    return _partial_combine(ds, partial, combine)
+
+
 def q_events_in_windows(sf_dir: str):
     """Range join (stages/joins.interval_tag): events tagged with the
     irregular maintenance window containing their timestamp — broadcast
@@ -1363,6 +1402,7 @@ QUERIES = {
     "bigram_counts": q_bigram_counts,
     "normalize_nfc": q_normalize_nfc,
     "sample_stratified": q_sample_stratified,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "events_in_windows": q_events_in_windows,
     "mixture_sample": q_mixture_sample,
     "image_stats": q_image_stats,
@@ -1571,6 +1611,14 @@ ORACLE_SQL = {
                         WHEN 'de' THEN '40'
                         WHEN 'fr' THEN '40'
                         ELSE '20' END
+    """,
+    "top_docs_per_lang": """
+        SELECT lang, doc_id, n_chars FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents)
+        WHERE rn <= 3
     """,
     "events_in_windows": """
         -- range join: irregular non-overlapping windows
