@@ -148,7 +148,11 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
     bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
     out = top * (1 - wy) + bot * wy
-    return out.astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else out
+    if np.issubdtype(img.dtype, np.integer):
+        # round, don't truncate: astype alone biases every non-integral
+        # interpolation half an LSB dark vs the cv2/PIL convention
+        return np.rint(out).astype(img.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,12 @@ def build_pipeline(ds, cfg: PipelineConfig | None = None):
     else:
         pre_fn = pre_stage
     if cfg.stage_metrics:
+        # create the collector from the DRIVER so the driver owns it: a
+        # worker-created (non-detached) actor would die with the worker
+        # pool before the runner snapshots it
+        from ..state.stage_metrics import get_collector
+
+        get_collector()
         inner_pre = pre_fn
 
         def pre_timed(batch: pa.Table) -> pa.Table:

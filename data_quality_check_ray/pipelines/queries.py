@@ -107,8 +107,8 @@ def q_doc_stats(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by("lang").aggregate([("n_chars", "count"), ("n_chars", "sum")])
-        return pa.table({"lang": g["lang"], "c": g["n_chars_count"],
+        g = b.group_by("lang").aggregate([([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"lang": g["lang"], "c": g["count_all"],
                          "s": g["n_chars_sum"]})
 
     def combine(b: pa.Table) -> pa.Table:
@@ -265,10 +265,10 @@ def q_events_daily(sf_dir: str):
             {"day": d, "event_type": b["event_type"], "value_cents": _cents(b["value"])}
         )
         g = t.group_by(["day", "event_type"]).aggregate(
-            [("value_cents", "count"), ("value_cents", "sum")]
+            [([], "count_all"), ("value_cents", "sum")]
         )
         return pa.table({"day": g["day"], "event_type": g["event_type"],
-                         "c": g["value_cents_count"], "s": g["value_cents_sum"]})
+                         "c": g["count_all"], "s": g["value_cents_sum"]})
 
     def combine(b: pa.Table) -> pa.Table:
         g = b.group_by(["day", "event_type"]).aggregate([("c", "sum"), ("s", "sum")])
@@ -296,9 +296,9 @@ def q_events_sliding_3h(sf_dir: str):
 
     def hourly_partial(b: pa.Table) -> pa.Table:
         t = hourly(b)
-        g = t.group_by(["hour", "event_type"]).aggregate([("hour", "count")])
+        g = t.group_by(["hour", "event_type"]).aggregate([([], "count_all")])
         return pa.table({"hour": g["hour"], "event_type": g["event_type"],
-                         "c": g["hour_count"]})
+                         "c": g["count_all"]})
 
     def combine_and_roll(b: pa.Table) -> pd.DataFrame:
         # hours x types is bounded -> final combine AND the per-type
@@ -505,12 +505,12 @@ def q_q1_pricing(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         t = derive(b)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("disc_cents", "sum"), ("disc_cents", "count")]
+            [("l_quantity", "sum"), ("disc_cents", "sum"), ([], "count_all")]
         )
         return pa.table({
             "l_returnflag": g["l_returnflag"], "l_linestatus": g["l_linestatus"],
             "q": g["l_quantity_sum"], "d": g["disc_cents_sum"],
-            "c": g["disc_cents_count"],
+            "c": g["count_all"],
         })
 
     def combine(b: pa.Table) -> pa.Table:
@@ -556,10 +556,10 @@ def q_segment_revenue(sf_dir: str):
         t = pa.table({"mktsegment": _lookup(seg_ref, b["o_custkey"]),
                       "price_cents": _cents(b["o_totalprice"])})
         g = t.group_by("mktsegment").aggregate(
-            [("price_cents", "count"), ("price_cents", "sum")]
+            [([], "count_all"), ("price_cents", "sum")]
         )
         return pa.table({"mktsegment": g["mktsegment"],
-                         "c": g["price_cents_count"], "s": g["price_cents_sum"]})
+                         "c": g["count_all"], "s": g["price_cents_sum"]})
 
     def combine(b: pa.Table) -> pa.Table:
         g = b.group_by("mktsegment").aggregate([("c", "sum"), ("s", "sum")])
@@ -599,13 +599,13 @@ def q_priority_revenue(sf_dir: str):
         # bucket): the join's second shuffle disappears and only ~5 rows
         # per bucket leave the reducer
         g = t.group_by("o_orderpriority").aggregate(
-            [("disc_cents", "sum"), ("disc_cents", "count")]
+            [("disc_cents", "sum"), ([], "count_all")]
         )
         return pa.table(
             {
                 "o_orderpriority": g["o_orderpriority"],
                 "cents": g["disc_cents_sum"],
-                "cnt": g["disc_cents_count"],
+                "cnt": g["count_all"],
             }
         )
 
@@ -735,9 +735,9 @@ def q_supplier_stats(sf_dir: str):
         t = pa.table({"region": _lookup(ref, b["s_nationkey"]),
                       "bal_cents": _cents(b["s_acctbal"])})
         g = t.group_by("region").aggregate(
-            [("bal_cents", "count"), ("bal_cents", "sum")]
+            [([], "count_all"), ("bal_cents", "sum")]
         )
-        return pa.table({"region": g["region"], "c": g["bal_cents_count"],
+        return pa.table({"region": g["region"], "c": g["count_all"],
                          "s": g["bal_cents_sum"]})
 
     def combine(b: pa.Table) -> pa.Table:

@@ -56,6 +56,12 @@ def _run_partition(p: Partition, cfg: RunConfig) -> dict:
     import ray.data as rd
 
     t0 = time.time()
+    if cfg.pipeline.stage_metrics:
+        from ..state.stage_metrics import snapshot_and_reset
+
+        # discard observations left by a failed/killed previous attempt so
+        # they cannot contaminate this partition's histograms
+        snapshot_and_reset()
     rows_in = sum(pq.read_metadata(f).num_rows for f in p.files)
     ds = build_pipeline(rd.read_parquet(list(p.files)), cfg.pipeline)
     tmp = os.path.join(cfg.output_dir, f".tmp-{p.partition_id}")

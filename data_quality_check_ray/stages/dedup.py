@@ -297,27 +297,42 @@ def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
         })
 
     def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
         bk = g[key_col].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bk) < 2:
+            return empty
         order = np.lexsort((ids, bk))
         bk, ids = bk[order], ids[order]
-        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
-        ends = np.concatenate([starts[1:], [len(bk)]])
-        out_a, out_b = [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            if e - s < 2:
-                continue
-            u = ids[s:e]
-            u = u[np.concatenate([[True], u[1:] != u[:-1]])]  # sorted-unique
-            if len(u) < 2 or (cap is not None and len(u) > cap):
-                continue
-            ii, jj = np.triu_indices(len(u), k=1)
-            out_a.append(u[ii])
-            out_b.append(u[jj])
-        if not out_a:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        # drop duplicate (key, id) rows (adjacent after the sort) so each
+        # id appears once per key — preserves pair-multiplicity semantics
+        first = np.concatenate([[True], (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])])
+        bk, ids = bk[first], ids[first]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], bk[1:] != bk[:-1]]))
+        run_len = np.diff(np.concatenate([run_start, [len(bk)]]))
+        keep = run_len >= 2
+        if cap is not None:
+            keep &= run_len <= cap
+        if not keep.any():
+            return empty
+        ks, kl = run_start[keep], run_len[keep]
+        # fully vectorized within-run pair expansion: element with local
+        # position p pairs with the p earlier elements of its run; ids are
+        # sorted within a run, so a < b holds by construction
+        n_el = int(kl.sum())
+        el_off = np.concatenate([[0], np.cumsum(kl)])
+        local = np.arange(n_el, dtype=np.int64) - np.repeat(el_off[:-1], kl)
+        gidx = np.repeat(ks, kl) + local          # global idx of each element
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(gidx, local)
+        p_off = np.concatenate([[0], np.cumsum(local)])
+        k = np.arange(total, dtype=np.int64) - np.repeat(p_off[:-1], local)
+        a_idx = np.repeat(np.repeat(ks, kl), local) + k
+        return pa.table({"a": ids[a_idx], "b": ids[b_idx]})
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")

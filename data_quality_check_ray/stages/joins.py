@@ -39,21 +39,25 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (x % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _auto_buckets(left_ds, right_ds) -> int:
+def _auto_buckets(left_ds, right_ds) -> tuple[int, object, object]:
     """Size bucket count from input bytes so each bucket's merge stays a
     bounded-memory task at any input scale (a fixed B means bucket size
-    grows linearly with data — the 100-TB failure mode)."""
-    total = 0
-    for ds in (left_ds, right_ds):
-        try:
-            b = ds.size_bytes()
-        except Exception:
-            b = None
-        total += b or 0
+    grows linearly with data — the 100-TB failure mode).
+
+    ``size_bytes()`` on a LAZY dataset triggers full execution, so the
+    inputs are materialized FIRST and the materialized handles are
+    returned for the join to reuse — sizing must never run the input
+    pipelines a second time.  (The groupby shuffle downstream is a
+    barrier anyway, so the materialization adds object-store residency,
+    not an extra pass; callers that must stream end-to-end pass
+    ``num_buckets`` explicitly.)"""
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+    total = (left_ds.size_bytes() or 0) + (right_ds.size_bytes() or 0)
     if total <= 0:
-        return DEFAULT_BUCKETS
+        return DEFAULT_BUCKETS, left_ds, right_ds
     want = -(-total // TARGET_BUCKET_BYTES)  # ceil div
-    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want)))
+    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want))), left_ds, right_ds
 
 
 def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
@@ -83,7 +87,7 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
         raise ValueError("bucket_reduce requires unsalted buckets "
                          "(a salted key's groups span sub-buckets)")
     if num_buckets is None:
-        num_buckets = _auto_buckets(left_ds, right_ds)
+        num_buckets, left_ds, right_ds = _auto_buckets(left_ds, right_ds)
     hot = (np.unique(np.asarray(list(salt_keys), dtype=np.int64))
            if salt_keys else None)
     salt = max(int(salt), 1)
@@ -297,11 +301,18 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
         if l.empty:
             return pd.DataFrame()
         if r.empty:
+            # null columns typed the way merge_asof itself types unmatched
+            # rows: numeric -> float64 NaN, datetime -> NaT, else object
             out = l.copy()
             for c in r_out:
-                out[c] = pd.Series([None] * len(out), dtype=object).astype(
-                    r.dtypes[c], errors="ignore"
-                )
+                dt = r.dtypes[c]
+                if np.issubdtype(dt, np.datetime64):
+                    out[c] = pd.Series(pd.NaT, index=out.index, dtype=dt)
+                elif np.issubdtype(dt, np.number):
+                    out[c] = np.nan
+                else:
+                    out[c] = pd.Series([None] * len(out), index=out.index,
+                                       dtype=object)
             return out
         return pd.merge_asof(
             l, r, left_on=ts, right_on=ts_r, left_by=key, right_by="__rkey"

@@ -69,4 +69,10 @@ def append_lineage_row(out_dir: str, entry: dict) -> None:
 
 def read_lineage(out_dir: str) -> pa.Table:
     files = sorted(glob.glob(os.path.join(out_dir, "_lineage", "*.parquet")))
-    return pa.concat_tables([pq.read_table(f) for f in files]) if files else pa.table({})
+    if not files:
+        return pa.table({})
+    # promote schemas: a resumed run may mix rows written before a column
+    # was added (e.g. stage_walls) with rows written after
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )

@@ -66,8 +66,10 @@ def get_collector():
     if _CACHED_HANDLE is None:
         import ray
 
+        # NOT detached: the collector should die with the driver/job — a
+        # detached actor would outlive the run and hold a slot forever
         _CACHED_HANDLE = ray.remote(num_cpus=0)(_Collector).options(
-            name=COLLECTOR_NAME, get_if_exists=True, lifetime="detached"
+            name=COLLECTOR_NAME, get_if_exists=True
         ).remote()
     return _CACHED_HANDLE
 

@@ -69,12 +69,16 @@ def main() -> None:
         }
         print(k, results[str(k)])
 
-    lo, hi = str(levels[0] if levels[0] > 1 else levels[1]), str(levels[-1])
-    # efficiency ceiling the hardware imposes on a (lo -> hi)-process
-    # scale-up of THIS kernel, independent of any framework
-    ceiling = (results[hi]["total_batches_per_sec"]
-               / results[lo]["total_batches_per_sec"]) \
-        / (int(hi) / int(lo))
+    multi = [lv for lv in levels if lv > 1] or levels
+    lo, hi = str(multi[0]), str(levels[-1])
+    if lo == hi:
+        ceiling = 1.0  # single level: no scale-up pair to compare
+    else:
+        # efficiency ceiling the hardware imposes on a (lo -> hi)-process
+        # scale-up of THIS kernel, independent of any framework
+        ceiling = (results[hi]["total_batches_per_sec"]
+                   / results[lo]["total_batches_per_sec"]) \
+            / (int(hi) / int(lo))
     out = {
         "kernel": "pre_stage + QualityModelStage on a fixed 4000-page batch",
         "framework": "none (plain OS processes)",
