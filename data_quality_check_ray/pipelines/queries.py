@@ -1227,6 +1227,39 @@ def q_events_in_windows(sf_dir: str):
     return _partial_combine(tagged, partial, combine)
 
 
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (functions/urls): dirty crawl URLs are
+    constructed deterministically from doc_id (mixed-case host, default
+    port, tracking params, fragments, trailing slashes) and canonicalized
+    by the vectorized Arrow kernel; the oracle re-derives the canonical
+    form with an independently written SQL regexp chain."""
+    from ..functions.urls import canonicalize_urls
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(b: pa.Table) -> pa.Table:
+        urls = []
+        for i in b["doc_id"].to_numpy(zero_copy_only=False).tolist():
+            port = ":443" if i % 3 == 0 else ""
+            slash = "/" if i % 2 == 0 else ""
+            frag = "#sec" if i % 4 == 0 else ""
+            urls.append(
+                f"HTTPS://WWW.Site{i % 7}.ORG{port}/Cat{i % 5}/item{i}{slash}"
+                f"?utm_source=feed&id={i}&fbclid=X{i % 13}{frag}"
+            )
+        return pa.table({"doc_id": b["doc_id"],
+                         "url": pa.array(urls, type=pa.large_string())})
+
+    def canon(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"],
+                         "url_canonical": canonicalize_urls(b["url"])})
+
+    return ds.map_batches(make, batch_format="pyarrow").map_batches(
+        canon, batch_format="pyarrow"
+    )
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic cross-table data mixture (functions/sampling
     .mix_datasets): documents at 25% + events at 12.5%, each subsampled by
@@ -1405,6 +1438,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "events_in_windows": q_events_in_windows,
     "mixture_sample": q_mixture_sample,
+    "url_canonical": q_url_canonical,
     "image_stats": q_image_stats,
     "audio_frame_rms": q_audio_frame_rms,
     "pages_pipeline": q_pages_pipeline,
@@ -1641,6 +1675,51 @@ ORACLE_SQL = {
         UNION ALL
         SELECT 'events' AS src, event_id AS id FROM events
         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '20'
+    """,
+    "url_canonical": """
+        -- independently-written canonicalization chain over the SAME
+        -- dirty-URL construction (see q_url_canonical)
+        WITH d AS (
+            SELECT doc_id,
+                   'HTTPS://WWW.Site' || (doc_id % 7) || '.ORG'
+                   || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                   || '/Cat' || (doc_id % 5) || '/item' || doc_id
+                   || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                   || '?utm_source=feed&id=' || doc_id
+                   || '&fbclid=X' || (doc_id % 13)
+                   || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+            FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM d),
+        s2 AS (SELECT doc_id,
+                      lower(regexp_extract(u,
+                          '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1)) AS head,
+                      regexp_extract(u,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$', 1) AS rest
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                      regexp_replace(regexp_replace(head,
+                          '^(https://[^:/]*):443$', '\\1'),
+                          '^(http://[^:/]*):80$', '\\1') AS head,
+                      rest
+               FROM s2),
+        s4 AS (SELECT doc_id, head,
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(rest,
+                        '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*&',
+                        '\\1', 'g'),
+                        '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*$',
+                        '', 'g'),
+                        '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*&',
+                        '\\1', 'g'),
+                        '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*$',
+                        '', 'g') AS rest
+               FROM s3),
+        s5 AS (SELECT doc_id, head,
+                      regexp_replace(regexp_replace(regexp_replace(
+                      regexp_replace(rest, '\\?&', '?'),
+                        '\\?$', ''), '/+\\?', '?'), '/+$', '') AS rest
+               FROM s4)
+        SELECT doc_id, head || rest AS url_canonical FROM s5
     """,
     "image_stats": """
         -- recompute dimensions + channel means from the BMP construction
