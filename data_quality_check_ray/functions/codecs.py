@@ -156,6 +156,74 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PPM stream "video" (concatenated P6 frames — the NetPBM stream
+# convention ffmpeg's image2pipe emits/consumes)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm_stream(frames) -> bytes:
+    """List of (h, w, 3) uint8 frames -> concatenated-P6 stream bytes."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def _ppm_frame_size(data: bytes, pos: int) -> tuple[int, int, int]:
+    """-> (w, h, payload_start) of the P6 frame at ``pos``."""
+    if data[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a P6 frame at offset {pos}")
+    parts = []
+    i = pos + 2
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return w, h, i
+
+
+def iter_ppm_stream(data: bytes):
+    """Yield (h, w, 3) uint8 frames from a concatenated-P6 stream."""
+    pos = 0
+    while pos < len(data):
+        w, h, start = _ppm_frame_size(data, pos)
+        yield np.frombuffer(
+            data, dtype=np.uint8, count=h * w * 3, offset=start
+        ).reshape(h, w, 3)
+        pos = start + h * w * 3
+
+
+def sample_ppm_stream(data: bytes, stride: int = 2):
+    """-> (n_frames_total, sampled frames [0, stride, 2*stride, ...]).
+
+    Frame SAMPLING, not full decode: non-sampled frames are skipped by
+    header arithmetic (seek past the payload) — only every ``stride``-th
+    frame's pixels are materialized, the standard cost-saver for video
+    feature extraction."""
+    frames = []
+    n = 0
+    pos = 0
+    while pos < len(data):
+        w, h, start = _ppm_frame_size(data, pos)
+        if n % stride == 0:
+            frames.append(np.frombuffer(
+                data, dtype=np.uint8, count=h * w * 3, offset=start
+            ).reshape(h, w, 3))
+        n += 1
+        pos = start + h * w * 3
+    return n, frames
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM16) via stdlib wave
 # ---------------------------------------------------------------------------
 

@@ -1347,6 +1347,62 @@ def q_image_stats(sf_dir: str):
     )
 
 
+class _VideoStatsStage:
+    """Actor-pool stage: REAL PPM-stream frame sampling -> frame count +
+    first-frame luma in float64 (operand order fixed to match the SQL
+    oracle's left-associative expression bitwise)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from ..functions.codecs import sample_ppm_stream
+
+        nf, ns, luma0 = [], [], []
+        for data in b["payload"].to_pylist():
+            n, frames = sample_ppm_stream(data, stride=2)
+            m = frames[0].reshape(-1, 3).mean(axis=0)  # exact for solid frames
+            nf.append(n)
+            ns.append(len(frames))
+            luma0.append(float(m[0]) * 0.299 + float(m[1]) * 0.587
+                         + float(m[2]) * 0.114)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_frames": pa.array(nf, type=pa.int64()),
+            "n_sampled": pa.array(ns, type=pa.int64()),
+            "luma0": pa.array(luma0, type=pa.float64()),
+        })
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Real video-stream frame sampling, oracle-checked: per-doc PPM
+    streams of 2-6 solid-color frames are constructed from doc_id,
+    frame-sampled (stride 2, non-sampled frames skipped by header
+    arithmetic) and reduced to counts + first-frame luma; the oracle
+    recomputes everything from the construction formulas."""
+    from ..functions.codecs import encode_ppm_stream
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_numpy(zero_copy_only=False).tolist():
+            n = 2 + i % 5
+            h, w = 4 + i % 5, 5 + i % 3
+            frames = []
+            for f in range(n):
+                c = np.array([(i * 7 + f * 13) % 256,
+                              (i * 11 + f * 17) % 256,
+                              (i * 3 + f * 19) % 256], np.uint8)
+                frames.append(np.broadcast_to(c, (h, w, 3)).copy())
+            payloads.append(encode_ppm_stream(frames))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    return ds.map_batches(make, batch_format="pyarrow").map_batches(
+        _VideoStatsStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 class _AudioRmsStage:
     """Actor-pool stage: REAL WAV decode (stdlib wave) -> sample rate,
     frame count, first-frame RMS in float64 (exact for square waves)."""
@@ -1440,6 +1496,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "url_canonical": q_url_canonical,
     "image_stats": q_image_stats,
+    "video_frame_stats": q_video_frame_stats,
     "audio_frame_rms": q_audio_frame_rms,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
@@ -1746,6 +1803,18 @@ ORACLE_SQL = {
                CAST(h * (wa * ab + (w - wa) * bb) AS DOUBLE) / (h * w) / 255.0
                    AS mean_b
         FROM x
+    """,
+    "video_frame_stats": """
+        -- closed-form check of the PPM-stream construction: n_frames and
+        -- the first (solid-color) frame's BT.601 luma; left-associative
+        -- double arithmetic matches the engine's operand order
+        SELECT doc_id,
+               CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+               CAST((2 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+               ((doc_id * 7) % 256) * CAST(0.299 AS DOUBLE)
+                 + ((doc_id * 11) % 256) * CAST(0.587 AS DOUBLE)
+                 + ((doc_id * 3) % 256) * CAST(0.114 AS DOUBLE) AS luma0
+        FROM documents
     """,
     "audio_frame_rms": """
         -- a +/-amp square wave's RMS is exactly its amplitude; n_frames

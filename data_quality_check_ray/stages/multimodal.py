@@ -141,6 +141,46 @@ class ImageResizeStage:
         return batch.append_column(self.out_col, pa.array(out, type=pa.binary()))
 
 
+class VideoFrameSampleStage:
+    """Actor-pool stage: PPM-stream "video" column -> (n_frames,
+    n_sampled, per-sampled-frame mean luma list<float>).
+
+    REAL codec (concatenated P6 frames — the NetPBM stream convention of
+    ffmpeg's image2pipe); frame SAMPLING skips non-sampled frames by
+    header arithmetic, so decode cost scales with sampled frames only.
+    Compressed containers (mp4/webm) would need external libraries.
+    """
+
+    def __init__(self, payload_col: str = "payload", stride: int = 2) -> None:
+        self.payload_col = payload_col
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import sample_ppm_stream
+
+        n_frames, n_sampled, luma = [], [], []
+        for data in batch[self.payload_col].to_pylist():
+            if data is None or len(data) == 0:
+                n_frames.append(0)
+                n_sampled.append(0)
+                luma.append([])
+                continue
+            n, frames = sample_ppm_stream(data, self.stride)
+            n_frames.append(n)
+            n_sampled.append(len(frames))
+            # BT.601 luma of each sampled frame's mean color
+            luma.append([
+                float(np.dot(f.reshape(-1, 3).mean(axis=0),
+                             [0.299, 0.587, 0.114]))
+                for f in frames
+            ])
+        batch = batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
+        batch = batch.append_column("n_sampled", pa.array(n_sampled, type=pa.int32()))
+        return batch.append_column(
+            "frame_luma", pa.array(luma, type=pa.list_(pa.float32()))
+        )
+
+
 class AudioFrameStage:
     """Actor-pool stage: binary audio column -> frame-sampled stats
     (n_frames, sample_rate, per-frame RMS list<float>).

@@ -160,3 +160,48 @@ def test_audio_stage_wav_decode(quiet_data_context):
     assert out.loc[0, "sample_rate"] == 22050
     assert out.loc[0, "n_frames"] == 2
     assert all(abs(r - amp) < 0.5 for r in out.loc[0, "frame_rms"])
+
+
+def test_ppm_stream_roundtrip_and_sampling():
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    rs = np.random.RandomState(2)
+    frames = [rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
+              for h, w in ((3, 5), (7, 4), (2, 2), (6, 6), (1, 9))]
+    data = codecs.encode_ppm_stream(frames)
+    back = list(codecs.iter_ppm_stream(data))
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    # stride-2 sampling: frames 0, 2, 4
+    n, sampled = codecs.sample_ppm_stream(data, stride=2)
+    assert n == 5 and len(sampled) == 3
+    for a, b in zip([frames[0], frames[2], frames[4]], sampled):
+        assert np.array_equal(a, b)
+    # stride larger than stream
+    n, sampled = codecs.sample_ppm_stream(data, stride=10)
+    assert n == 5 and len(sampled) == 1
+
+
+def test_video_stage(quiet_data_context):
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.codecs import encode_ppm_stream
+    from data_quality_check_ray.stages.multimodal import VideoFrameSampleStage
+
+    black = np.zeros((4, 4, 3), np.uint8)
+    red = np.zeros((4, 4, 3), np.uint8); red[:, :, 0] = 255
+    white = np.full((4, 4, 3), 255, np.uint8)
+    # stride 2 samples frames 0 and 2 -> black, white
+    data = encode_ppm_stream([black, red, white])
+    t = pa.table({"payload": pa.array([data, None], type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert out.loc[0, "n_frames"] == 3 and out.loc[0, "n_sampled"] == 2
+    lum = out.loc[0, "frame_luma"]
+    assert lum[0] == 0.0 and abs(lum[1] - 255.0) < 0.01
+    assert out.loc[1, "n_frames"] == 0
