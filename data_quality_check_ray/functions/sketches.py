@@ -73,3 +73,89 @@ def approx_distinct(ds, col: str) -> float:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     merged = hll_merge([np.frombuffer(s, dtype=np.uint8) for s in parts["sketch"]])
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch (mergeable, deterministic)
+# ---------------------------------------------------------------------------
+
+#: bins per decade: relative error of a quantile estimate is bounded by
+#: half a bin width, ~ (10^(1/BINS_PER_DECADE) - 1) / 2 = 1.8%
+QH_BINS_PER_DECADE = 64
+QH_MIN_EXP, QH_MAX_EXP = -6, 12   # value range [1e-6, 1e12)
+_QH_N = (QH_MAX_EXP - QH_MIN_EXP) * QH_BINS_PER_DECADE
+#: layout: [zeros, underflow, bin_0 .. bin_{N-1}, overflow]
+QH_SIZE = _QH_N + 3
+
+
+def qhist_from_values(x: np.ndarray) -> np.ndarray:
+    """Non-negative values -> int64[QH_SIZE] counts (one batch partial).
+
+    Deterministic and mergeable by ADDITION — the per-batch partial is a
+    fixed ~9 KiB vector regardless of row count, the quantile analog of
+    the HLL registers above.  Negative values are a ValueError (track a
+    mirrored sketch if you need them)."""
+    x = np.asarray(x, dtype=np.float64)
+    if (x < 0).any():
+        raise ValueError("qhist supports non-negative values only")
+    h = np.zeros(QH_SIZE, dtype=np.int64)
+    zeros = x == 0
+    h[0] = int(zeros.sum())
+    v = x[~zeros]
+    if len(v):
+        b = np.floor(np.log10(v) * QH_BINS_PER_DECADE).astype(np.int64) \
+            - QH_MIN_EXP * QH_BINS_PER_DECADE
+        under = b < 0
+        over = b >= _QH_N
+        h[1] = int(under.sum())
+        h[-1] = int(over.sum())
+        mid = b[~under & ~over]
+        h[2:-1] += np.bincount(mid, minlength=_QH_N)
+    return h
+
+
+def qhist_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros(QH_SIZE, dtype=np.int64)
+    for p in parts:
+        out += p
+    return out
+
+
+def qhist_quantile(h: np.ndarray, q: float) -> float:
+    """Quantile estimate: geometric midpoint of the bin containing the
+    q-th value (zeros -> 0.0; under/overflow -> range edge)."""
+    total = int(h.sum())
+    if total == 0:
+        return float("nan")
+    target = q * (total - 1)
+    cum = np.cumsum(h)
+    i = int(np.searchsorted(cum, target, side="right"))
+    if i == 0:
+        return 0.0
+    if i == 1:
+        return 10.0 ** QH_MIN_EXP
+    if i >= QH_SIZE - 1:
+        return 10.0 ** QH_MAX_EXP
+    b = i - 2  # bin index
+    lo = (b + QH_MIN_EXP * QH_BINS_PER_DECADE) / QH_BINS_PER_DECADE
+    return 10.0 ** (lo + 0.5 / QH_BINS_PER_DECADE)
+
+
+def approx_quantiles(ds, col: str, qs: tuple = (0.5, 0.9, 0.99)) -> dict:
+    """Dataset operator: distributed approximate quantiles of a
+    non-negative numeric column — one fixed-size partial per block, one
+    tiny driver-side merge (same shape as approx_distinct)."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = qhist_from_values(b[col].to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array([h.tobytes()], type=pa.binary())})
+
+    parts = [
+        np.frombuffer(row["h"], dtype=np.int64)
+        for t in ds.map_batches(partial, batch_format="pyarrow")
+                   .iter_batches(batch_size=None, batch_format="pyarrow")
+        for row in t.to_pylist()
+    ]
+    merged = qhist_merge(parts) if parts else np.zeros(QH_SIZE, dtype=np.int64)
+    return {f"p{int(q * 100)}": qhist_quantile(merged, q) for q in qs}

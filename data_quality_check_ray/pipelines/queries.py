@@ -1013,6 +1013,20 @@ def q_embed_dup_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Approximate p50/p90/p99 of document length via the mergeable
+    log-histogram sketch (functions/sketches.qhist_*, ~1.8% relative
+    error) — rows-only: an approximation has no exact SQL oracle; the
+    sketch's accuracy and mergeability are unit-tested instead."""
+    from ..functions.sketches import approx_quantiles
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    est = approx_quantiles(ds, "n_chars", qs=(0.5, 0.9, 0.99))
+    return pa.table({k: pa.array([v], type=pa.float64())
+                     for k, v in est.items()})
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over events — mergeable
     per-batch sketches (4 KiB partials), the shuffle-free stand-in for
@@ -1488,6 +1502,7 @@ QUERIES = {
     # rows-only (model / sketch / approximation based)
     "approx_distinct_users": q_approx_distinct_users,
     "json_conform": q_json_conform,
+    "doc_len_quantiles": q_doc_len_quantiles,
     "bigram_counts": q_bigram_counts,
     "normalize_nfc": q_normalize_nfc,
     "sample_stratified": q_sample_stratified,

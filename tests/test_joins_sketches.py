@@ -245,3 +245,39 @@ def test_interval_tag_range_join(quiet_data_context):
     with pytest.raises(ValueError, match="interval"):
         interval_tag(rd.from_pandas(df), "ts",
                      np.array([0]), np.array([0]), np.array([1]))
+
+
+def test_qhist_accuracy_and_mergeability():
+    from data_quality_check_ray.functions.sketches import (
+        qhist_from_values,
+        qhist_merge,
+        qhist_quantile,
+    )
+
+    rs = np.random.RandomState(9)
+    x = rs.lognormal(3, 2, 100_000)
+    h = qhist_from_values(x)
+    for q in (0.5, 0.9, 0.99):
+        est, exact = qhist_quantile(h, q), np.quantile(x, q)
+        assert abs(est - exact) / exact < 0.02, q
+    parts = [qhist_from_values(c) for c in np.array_split(x, 5)]
+    assert np.array_equal(qhist_merge(parts), h)
+    # zeros and edge handling
+    hz = qhist_from_values(np.zeros(10))
+    assert qhist_quantile(hz, 0.5) == 0.0
+    with pytest.raises(ValueError):
+        qhist_from_values(np.array([-1.0]))
+
+
+def test_approx_quantiles_on_dataset(quiet_data_context):
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.sketches import approx_quantiles
+
+    rs = np.random.RandomState(10)
+    x = rs.lognormal(2, 1, 20_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": x})).repartition(6)
+    est = approx_quantiles(ds, "v")
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        exact = np.quantile(x, q)
+        assert abs(est[name] - exact) / exact < 0.02, name
