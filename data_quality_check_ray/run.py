@@ -34,6 +34,15 @@ def main(argv: list[str] | None = None) -> int:
                          "validate a custom pages-table variant")
     ap.add_argument("--stage-metrics", action="store_true",
                     help="record per-stage duration histograms into lineage")
+    ap.add_argument("--hash-groups", type=int, default=0,
+                    help=">0: append-stable hashed partition planning with "
+                         "this many groups (growing inputs only reprocess "
+                         "groups that gained files)")
+    ap.add_argument("--clean-stale", action="store_true",
+                    help="remove output partitions no longer in the plan "
+                         "(shrunk/regrouped input)")
+    ap.add_argument("--max-partitions", type=int, default=None,
+                    help="stop after N partitions (smoke runs / draining)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="ray.init num_cpus when starting a local session")
     ap.add_argument("--log-level", default="info")
@@ -75,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                 stage_metrics=args.stage_metrics,
             ),
             files_per_partition=args.files_per_partition,
+            hash_groups=args.hash_groups,
+            clean_stale=args.clean_stale,
+            max_partitions=args.max_partitions,
         )
     )
     print(json.dumps(summary))
