@@ -84,29 +84,11 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
-    if data[:2] != b"P6":
-        raise ValueError("not a P6 PPM")
-    # header: magic, whitespace-separated width height maxval, ONE
-    # whitespace, then raw RGB
-    parts = []
-    i = 2
-    while len(parts) < 3:
-        while i < len(data) and data[i : i + 1].isspace():
-            i += 1
-        if data[i : i + 1] == b"#":  # comment line
-            while i < len(data) and data[i : i + 1] != b"\n":
-                i += 1
-            continue
-        j = i
-        while j < len(data) and not data[j : j + 1].isspace():
-            j += 1
-        parts.append(int(data[i:j]))
-        i = j
-    i += 1  # the single whitespace after maxval
-    w, h, maxval = parts
-    if maxval != 255:
-        raise ValueError("only maxval 255 supported")
-    return np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=i).reshape(h, w, 3)
+    # header parsing shared with the stream reader (_ppm_frame_size)
+    w, h, start = _ppm_frame_size(data, 0)
+    return np.frombuffer(
+        data, dtype=np.uint8, count=h * w * 3, offset=start
+    ).reshape(h, w, 3)
 
 
 def sniff_image(data: bytes) -> str | None:
@@ -209,6 +191,8 @@ def sample_ppm_stream(data: bytes, stride: int = 2):
     header arithmetic (seek past the payload) — only every ``stride``-th
     frame's pixels are materialized, the standard cost-saver for video
     feature extraction."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     frames = []
     n = 0
     pos = 0

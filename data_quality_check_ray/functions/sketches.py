@@ -93,22 +93,26 @@ def qhist_from_values(x: np.ndarray) -> np.ndarray:
 
     Deterministic and mergeable by ADDITION — the per-batch partial is a
     fixed ~9 KiB vector regardless of row count, the quantile analog of
-    the HLL registers above.  Negative values are a ValueError (track a
-    mirrored sketch if you need them)."""
+    the HLL registers above.  NaN (null) values are SKIPPED (standard
+    null-ignoring quantile semantics), +inf counts as overflow; negative
+    values are a ValueError (track a mirrored sketch if you need them)."""
     x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
     if (x < 0).any():
         raise ValueError("qhist supports non-negative values only")
     h = np.zeros(QH_SIZE, dtype=np.int64)
     zeros = x == 0
     h[0] = int(zeros.sum())
-    v = x[~zeros]
+    inf = np.isinf(x)
+    h[-1] = int(inf.sum())
+    v = x[~zeros & ~inf]
     if len(v):
         b = np.floor(np.log10(v) * QH_BINS_PER_DECADE).astype(np.int64) \
             - QH_MIN_EXP * QH_BINS_PER_DECADE
         under = b < 0
         over = b >= _QH_N
         h[1] = int(under.sum())
-        h[-1] = int(over.sum())
+        h[-1] += int(over.sum())
         mid = b[~under & ~over]
         h[2:-1] += np.bincount(mid, minlength=_QH_N)
     return h

@@ -9,8 +9,8 @@ kernels — no per-row Python):
   2. lowercase scheme + authority (path/query case preserved);
   3. strip default ports (``:443`` for https, ``:80`` for http);
   4. remove tracking query params (``utm_*``, ``fbclid``, ``gclid``,
-     ``msclkid``) — two passes reach a fixed point for up to ~4 adjacent
-     tracking params;
+     ``msclkid``) — iterated to a fixed point, so any number of adjacent
+     tracking params is removed and the transform is idempotent;
   5. drop an emptied ``?`` and repair ``?&``;
   6. strip trailing path slashes (also just before ``?``).
 
@@ -23,24 +23,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _TRACK = r"(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
-_SPLIT = r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)(?P<rest>.*)$"
+_SPLIT = r"^(?P<head>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>.*)$"
 
 
 def canonicalize_urls(urls) -> pa.Array:
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
     u = pc.cast(urls, pa.large_string())
-    u = pc.replace_substring_regex(u, r"#.*$", "")
+    # split FIRST: every transform below applies only to recognized URLs,
+    # so non-URL strings (null head) pass through truly unchanged
     parts = pc.extract_regex(u, _SPLIT)
     head = pc.utf8_lower(pc.struct_field(parts, "head"))
     head = pc.replace_substring_regex(head, r"^(https://[^:/]*):443$", r"\1")
     head = pc.replace_substring_regex(head, r"^(http://[^:/]*):80$", r"\1")
     rest = pc.struct_field(parts, "rest")
-    for _ in range(2):  # fixed point for adjacent tracking params
-        rest = pc.replace_substring_regex(
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    # iterate to an ACTUAL fixed point: RE2's global replace resumes
+    # after each consumed '&', so N adjacent tracking params need up to
+    # ~N/2 passes; loop until the column stops changing
+    for _ in range(32):
+        nxt = pc.replace_substring_regex(
             rest, r"([?&])" + _TRACK + r"=[^&]*&", r"\1")
-        rest = pc.replace_substring_regex(
-            rest, r"[?&]" + _TRACK + r"=[^&]*$", "")
+        nxt = pc.replace_substring_regex(
+            nxt, r"[?&]" + _TRACK + r"=[^&]*$", "")
+        done = pc.all(pc.equal(nxt, rest)).as_py()
+        rest = nxt
+        if done or done is None:  # None: all-null column
+            break
     rest = pc.replace_substring_regex(rest, r"\?&", "?")
     rest = pc.replace_substring_regex(rest, r"\?$", "")
     rest = pc.replace_substring_regex(rest, r"/+\?", "?")

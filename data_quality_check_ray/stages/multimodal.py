@@ -152,6 +152,8 @@ class VideoFrameSampleStage:
     """
 
     def __init__(self, payload_col: str = "payload", stride: int = 2) -> None:
+        if stride < 1:
+            raise ValueError(f"stride must be >= 1, got {stride}")
         self.payload_col = payload_col
         self.stride = stride
 

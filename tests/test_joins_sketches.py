@@ -281,3 +281,18 @@ def test_approx_quantiles_on_dataset(quiet_data_context):
     for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
         exact = np.quantile(x, q)
         assert abs(est[name] - exact) / exact < 0.02, name
+
+
+def test_qhist_nulls_and_inf():
+    """Regression: NaN (null) values are skipped, +inf is overflow — not
+    silently binned into underflow."""
+    from data_quality_check_ray.functions.sketches import (
+        qhist_from_values,
+        qhist_quantile,
+    )
+
+    x = np.array([np.nan] * 60 + [100.0] * 40)
+    h = qhist_from_values(x)
+    assert abs(qhist_quantile(h, 0.5) - 100.0) / 100.0 < 0.02
+    hi = qhist_from_values(np.array([1.0, np.inf]))
+    assert hi[-1] == 1  # overflow bucket

@@ -52,3 +52,19 @@ def test_idempotent():
     dirty = "HTTPS://A.B:443/x/?utm_s=1&q=2#f"
     once = c(dirty)
     assert c(once) == once
+
+
+def test_non_url_with_hash_untouched():
+    """Regression: fragment stripping must not mutate non-URL strings."""
+    assert c("anchor #1 see notes") == "anchor #1 see notes"
+    # fragment directly after authority (no path)
+    assert c("https://H.org#frag") == "https://h.org"
+
+
+def test_many_adjacent_tracking_params_fixed_point():
+    """Regression: RE2 global replace resumes after each consumed '&';
+    the loop must reach an actual fixed point for ANY adjacency run."""
+    dirty = "https://h.org/a?" + "&".join(f"utm_{ch}={n}" for n, ch in
+                                          enumerate("abcdefgh")) + "&id=5"
+    assert c(dirty) == "https://h.org/a?id=5"
+    assert c(c(dirty)) == c(dirty)
