@@ -72,3 +72,71 @@ def test_scrub_parity_arbitrary_text(texts):
         assert tox[i] == tx
         for k in c:
             assert counts[k][i] == c[k]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)), min_size=1, max_size=4
+    ),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_bmp_ppm_stream_roundtrip_property(shapes, seed):
+    """Any (h, w) sequence round-trips bit-exactly through BMP, PPM and
+    the PPM stream codec (row padding, header parsing)."""
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    rs = np.random.RandomState(seed % (2**32))
+    frames = [rs.randint(0, 256, (h, w, 3), dtype=np.uint8) for h, w in shapes]
+    for f in frames:
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(f)), f)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(f)), f)
+    back = list(codecs.iter_ppm_stream(codecs.encode_ppm_stream(frames)))
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+
+@given(st.integers(1, 10_000), st.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(n, seed):
+    import numpy as np
+
+    from data_quality_check_ray.functions import codecs
+
+    s = np.random.RandomState(seed % (2**32)).randint(
+        -32768, 32767, n).astype(np.int16)
+    rate, ch, out = codecs.decode_wav(codecs.encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and ch == 1 and np.array_equal(out, s)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=80, deadline=None)
+def test_url_canonicalization_idempotent_property(s):
+    """c(c(x)) == c(x) for arbitrary strings (URLs or not)."""
+    import pyarrow as pa
+
+    from data_quality_check_ray.functions.urls import canonicalize_urls
+
+    once = canonicalize_urls(pa.array([s], type=pa.string())).to_pylist()[0]
+    twice = canonicalize_urls(pa.array([once], type=pa.string())).to_pylist()[0]
+    assert twice == once
+
+
+@given(st.lists(st.floats(0, 1e9, allow_nan=False), min_size=1, max_size=500),
+       st.integers(1, 5))
+@settings(max_examples=30, deadline=None)
+def test_qhist_merge_equals_whole_property(values, n_chunks):
+    import numpy as np
+
+    from data_quality_check_ray.functions.sketches import (
+        qhist_from_values,
+        qhist_merge,
+    )
+
+    x = np.array(values)
+    whole = qhist_from_values(x)
+    parts = [qhist_from_values(c) for c in np.array_split(x, n_chunks)]
+    assert np.array_equal(qhist_merge(parts), whole)
