@@ -1,0 +1,123 @@
+"""Corpus-curation pipeline: the round-2 operators composed end-to-end
+over a documents-shaped table (doc_id, text, lang).
+
+    read → NFC-normalize → quality signals (vectorized) → exact-dup
+    assignment (digest groupby + bucketed join-back) → keep/drop decision
+    → deterministic per-language survivor sampling → labeled Dataset
+
+Shape notes (the same scale discipline as the flagship):
+  * the spine is two map stages around ONE digest-only shuffle — document
+    text never shuffles, only (fp128, doc_id) pairs;
+  * dup assignment comes back via the bucketed hash join (bytes-scaled
+    buckets), not a driver dict;
+  * sampling is a pure key-hash filter — reruns reproduce the exact
+    survivor set.
+
+Drop reasons (first failing wins): ``dup:exact``, ``rule:too_short``,
+``rule:symbol_ratio``, ``rule:stopword``, then sampling ``sample:out``;
+kept rows carry reason "".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_RATES = {"en": 1.0, "de": 1.0, "fr": 1.0, "es": 1.0, "nl": 1.0}
+
+
+def prep_stage(batch: pa.Table) -> pa.Table:
+    """NFC normalization + quality signals + content digest (one pass)."""
+    from ..functions.normalize import nfc_normalize_column
+    from ..functions.textstats import text_stats
+    from ..stages.dedup import content_hash128
+
+    text, _ = nfc_normalize_column(batch["text"])
+    stats = text_stats(text)
+    lo, hi = content_hash128(text)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang": batch["lang"],
+        "text": text,
+        "n_words": pa.array(stats["n_words"]),
+        "symbol_ratio": pa.array(stats["symbol_ratio"]),
+        "stop_fraction": pa.array(stats["stop_fraction"]),
+        "fp_lo": pa.array(lo),
+        "fp_hi": pa.array(hi),
+    })
+
+
+def build_curation_pipeline(ds, rates: dict | None = None,
+                            min_words: int = 10,
+                            max_symbol_ratio: float = 0.1,
+                            min_stop_fraction: float = 0.02):
+    """documents Dataset -> labeled Dataset(doc_id, lang, keep,
+    drop_reason) — lazy; caller consumes/writes."""
+    from ..functions.sampling import sample_mask
+    from ..stages.joins import hash_join
+
+    prepped = ds.map_batches(prep_stage, batch_format="pyarrow")
+
+    # exact-dup representative per content digest: digest-only shuffle,
+    # then join the rep back onto the stream (right side is one row per
+    # DISTINCT document — corpus-sized at worst, never broadcast)
+    digests = prepped.map_batches(
+        lambda b: b.select(["fp_lo", "fp_hi", "doc_id"]), batch_format="pyarrow"
+    )
+    reps = (
+        digests.groupby(["fp_lo", "fp_hi"]).min("doc_id")
+        .map_batches(
+            lambda t: t.rename_columns(["fp_lo", "fp_hi", "rep_lo_id"]),
+            batch_format="pyarrow",
+        )
+    )
+    # join on a single packed digest key (both halves XOR-folded: the
+    # 128-bit digest is already uniform, folding keeps collisions at the
+    # 64-bit birthday bound of the JOIN ONLY — rep identity still used
+    # both halves)
+    def pack(b: pa.Table, id_cols) -> pa.Table:
+        key = (b["fp_lo"].to_numpy(zero_copy_only=False)
+               ^ b["fp_hi"].to_numpy(zero_copy_only=False))
+        out = pa.table({"fpk": key})
+        for c in id_cols:
+            out = out.append_column(c, b[c])
+        return out
+
+    left = prepped.map_batches(
+        lambda b: pack(b, ["doc_id", "lang", "n_words", "symbol_ratio",
+                           "stop_fraction"]),
+        batch_format="pyarrow",
+    )
+    right = reps.map_batches(
+        lambda b: pack(b, ["rep_lo_id"]), batch_format="pyarrow"
+    )
+    joined = hash_join(left, right, key="fpk")
+
+    rates = rates or DEFAULT_RATES
+
+    def decide(b: pa.Table) -> pa.Table:
+        n = len(b)
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        rep = b["rep_lo_id"].to_numpy(zero_copy_only=False)
+        reason = np.full(n, "", dtype=object)
+        is_dup = rep != doc
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        sym = b["symbol_ratio"].to_numpy(zero_copy_only=False)
+        stop = b["stop_fraction"].to_numpy(zero_copy_only=False)
+        sampled = sample_mask(doc, strata=b["lang"].to_pylist(),
+                              rate_by=rates, default_rate=0.0, mode="fast")
+        # first failing wins (reverse-priority overwrite)
+        reason[~sampled] = "sample:out"
+        reason[stop < min_stop_fraction] = "rule:stopword"
+        reason[sym > max_symbol_ratio] = "rule:symbol_ratio"
+        reason[nw < min_words] = "rule:too_short"
+        reason[is_dup] = "dup:exact"
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": b["lang"],
+            "keep": pa.array(reason == ""),
+            "drop_reason": pa.array(reason.tolist(), type=pa.string()),
+        })
+
+    return joined.map_batches(decide, batch_format="pyarrow")

@@ -1027,6 +1027,21 @@ def q_doc_len_quantiles(sf_dir: str):
                      for k, v in est.items()})
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation (pipelines/curation): NFC normalize ->
+    quality signals -> exact-dup assignment (digest-only shuffle + bucketed
+    join-back) -> keep/drop -> deterministic survivor sampling.  Rows-only:
+    the composition uses engine hashes (128-bit content digest, key-hash
+    sampling) with no SQL equivalent; each constituent operator is
+    oracle-checked separately."""
+    from .curation import build_curation_pipeline
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return build_curation_pipeline(ds)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over events — mergeable
     per-batch sketches (4 KiB partials), the shuffle-free stand-in for
@@ -1513,6 +1528,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "video_frame_stats": q_video_frame_stats,
     "audio_frame_rms": q_audio_frame_rms,
+    "curation_pipeline": q_curation_pipeline,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
