@@ -18,6 +18,7 @@ unchanged.
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
@@ -97,7 +98,10 @@ class ImageFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         heights, widths, chans, means = [], [], [], []
         for data in batch[self.payload_col].to_pylist():
-            dec = self._decode(data)
+            try:
+                dec = self._decode(data)
+            except (ValueError, struct_error):
+                dec = None  # corrupt payload: mark (nulls), never fail the job
             if dec is None:
                 heights.append(None); widths.append(None); chans.append(None)
                 means.append(None)
@@ -136,7 +140,11 @@ class ImageResizeStage:
             if data is None or sniff_image(data) is None:
                 out.append(None)
                 continue
-            img = resize_bilinear(decode_image(data), self.out_h, self.out_w)
+            try:
+                img = resize_bilinear(decode_image(data), self.out_h, self.out_w)
+            except (ValueError, struct_error):
+                out.append(None)  # corrupt payload: mark, never fail the job
+                continue
             out.append(encode_bmp(np.ascontiguousarray(img)))
         return batch.append_column(self.out_col, pa.array(out, type=pa.binary()))
 
@@ -167,7 +175,13 @@ class VideoFrameSampleStage:
                 n_sampled.append(0)
                 luma.append([])
                 continue
-            n, frames = sample_ppm_stream(data, self.stride)
+            try:
+                n, frames = sample_ppm_stream(data, self.stride)
+            except (ValueError, struct_error):
+                n_frames.append(None)   # corrupt stream: mark, don't fail
+                n_sampled.append(None)
+                luma.append(None)
+                continue
             n_frames.append(n)
             n_sampled.append(len(frames))
             # BT.601 luma of each sampled frame's mean color
@@ -208,7 +222,13 @@ class AudioFrameStage:
                 rms.append([])
                 continue
             if data[:4] == b"RIFF":
-                rate, _ch, pcm16 = decode_wav(data)
+                try:
+                    rate, _ch, pcm16 = decode_wav(data)
+                except Exception:  # wave.Error/EOFError: corrupt container
+                    n_frames.append(None)
+                    rates.append(None)
+                    rms.append(None)
+                    continue
                 pcm = pcm16.astype(np.float32)
             else:  # raw PCM fallback (rate unknown)
                 rate = 0

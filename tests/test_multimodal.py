@@ -205,3 +205,56 @@ def test_video_stage(quiet_data_context):
     lum = out.loc[0, "frame_luma"]
     assert lum[0] == 0.0 and abs(lum[1] - 255.0) < 0.01
     assert out.loc[1, "n_frames"] == 0
+
+
+def test_corrupt_payloads_marked_not_fatal(quiet_data_context):
+    """Engine philosophy: corrupt payloads MARK the row (nulls), never
+    fail the job (the dataset analog of the reference's per-request
+    error)."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.functions.codecs import (
+        encode_bmp,
+        encode_ppm_stream,
+        encode_wav_pcm16,
+    )
+    from data_quality_check_ray.stages.multimodal import (
+        AudioFrameStage,
+        ImageFeatureStage,
+        ImageResizeStage,
+        VideoFrameSampleStage,
+    )
+
+    def collect(ds):
+        return pa.concat_tables(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+    ok_img = encode_bmp(np.full((4, 4, 3), 9, np.uint8))
+    bad_bmp = ok_img[:30]                       # truncated header/pixels
+    bad_ppm = b"P6\n5 5\n255\n" + b"\x00" * 3   # payload too short
+    t = pa.table({"payload": pa.array([ok_img, bad_bmp, bad_ppm], type=pa.binary())})
+    out = collect(rd.from_arrow(t).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", concurrency=1))
+    assert out["height"][0].as_py() == 4
+    assert out["height"][1].as_py() is None
+    assert out["mean_rgb"][2].as_py() is None
+
+    outr = rd.from_arrow(t).map_batches(
+        ImageResizeStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert outr.loc[0, "payload_resized"] is not None
+    assert outr.loc[1, "payload_resized"] is None
+
+    ok_vid = encode_ppm_stream([np.full((2, 2, 3), 5, np.uint8)])
+    tv = pa.table({"payload": pa.array([ok_vid, b"P6 garbage"], type=pa.binary())})
+    outv = collect(rd.from_arrow(tv).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", concurrency=1))
+    assert outv["n_frames"][0].as_py() == 1
+    assert outv["n_frames"][1].as_py() is None
+
+    ok_wav = encode_wav_pcm16(np.ones(100, np.int16), 8000)
+    ta = pa.table({"payload": pa.array([ok_wav, b"RIFFbroken"], type=pa.binary())})
+    outa = collect(rd.from_arrow(ta).map_batches(
+        AudioFrameStage, batch_format="pyarrow", concurrency=1))
+    assert outa["sample_rate"][0].as_py() == 8000
+    assert outa["sample_rate"][1].as_py() is None
