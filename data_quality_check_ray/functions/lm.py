@@ -79,11 +79,10 @@ def _bigram_slots_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     ppl_batch, so a trained model scores exactly what it counted)."""
     from .textstats import tokenize
 
-    _, _, woff, norm = tokenize(texts)
-    dct = norm.dictionary_encode()
-    uniq = dct.dictionary.to_pylist()
-    uniq_hash = np.array([token_hash(t) for t in uniq], dtype=np.int64)
-    codes = np.asarray(dct.indices, dtype=np.int64)
+    _, _, woff, _, (wdct, norm_dict) = tokenize(texts)
+    uniq_hash = np.array([token_hash(t) for t in norm_dict.to_pylist()],
+                         dtype=np.int64)
+    codes = np.asarray(wdct.indices, dtype=np.int64)
     th = uniq_hash[codes] if len(codes) else np.empty(0, dtype=np.int64)
     if len(th) < 2:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -159,14 +158,16 @@ def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None,
     closed-form model."""
     from .textstats import tokenize
 
-    _, _, woff, norm = pre if pre is not None else tokenize(texts)
+    _, _, woff, _, (wdct, norm_dict) = (
+        pre if pre is not None else tokenize(texts)
+    )
     n = len(woff) - 1
 
-    # hash only the unique tokens (vocabulary is tiny vs corpus)
-    dct = norm.dictionary_encode()
-    uniq = dct.dictionary.to_pylist()
-    uniq_hash = np.array([token_hash(t) for t in uniq], dtype=np.int64)
-    codes = np.asarray(dct.indices, dtype=np.int64)
+    # hash only the unique tokens (vocabulary is tiny vs corpus) — over
+    # the shared normalized dictionary, no second dictionary_encode
+    uniq_hash = np.array([token_hash(t) for t in norm_dict.to_pylist()],
+                         dtype=np.int64)
+    codes = np.asarray(wdct.indices, dtype=np.int64)
     th = uniq_hash[codes] if len(codes) else np.empty(0, dtype=np.int64)
 
     n_words = np.diff(woff)

@@ -101,13 +101,25 @@ def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 def tokenize(texts: pa.ChunkedArray | pa.Array):
     """Shared tokenization: (filled_texts, word values, word offsets,
-    normalized words) — computed once per batch and reused by the
-    heuristics, perplexity and stop-word kernels in the fused stage."""
+    normalized words, (word dictionary, normalized dictionary)) —
+    computed once per batch and reused by the heuristics, perplexity and
+    stop-word kernels in the fused stage.
+
+    The dictionary pair is the bandwidth lever: per-word kernels (regex
+    match, length, stop-word lookup, hashing) run over the UNIQUE words
+    only and gather by code — on web text the vocabulary is a small
+    fraction of the token stream."""
     texts = as_single_array(texts)
     texts = pc.fill_null(pc.cast(texts, pa.large_string()), "")
     wvals, woff = split_words(texts)
-    norm = as_single_array(pc.utf8_trim(pc.utf8_lower(wvals), WORD_TRIM_CHARS))
-    return texts, wvals, woff, norm
+    wdct = as_single_array(wvals).dictionary_encode()
+    norm_dict = as_single_array(
+        pc.utf8_trim(pc.utf8_lower(wdct.dictionary), WORD_TRIM_CHARS)
+    )
+    # elementwise identical to trim(lower(wvals)) — same pure function,
+    # factored through the dictionary
+    norm = as_single_array(pc.take(norm_dict, wdct.indices))
+    return texts, wvals, woff, norm, (wdct, norm_dict)
 
 
 def text_stats(
@@ -118,15 +130,23 @@ def text_stats(
     Nulls are treated as empty text (zeros everywhere) — conformance drops
     them independently.  ``pre`` is an optional ``tokenize(...)`` result.
     """
-    texts, wvals, woff, norm = pre if pre is not None else tokenize(texts)
+    texts, wvals, woff, norm, (wdct, norm_dict) = (
+        pre if pre is not None else tokenize(texts)
+    )
     n = len(texts)
+    code_ids = np.asarray(wdct.indices, dtype=np.int64)
 
     n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
 
     n_words = np.diff(woff)
     nz = n_words > 0
 
-    word_lens = pc.utf8_length(wvals).to_numpy(zero_copy_only=False).astype(np.int64)
+    # per-word kernels run over the UNIQUE words (dictionary) and gather
+    # by code: the regex/length/set-lookup cost scales with vocabulary,
+    # not token count
+    dict_lens = pc.utf8_length(wdct.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    word_lens = dict_lens[code_ids] if len(code_ids) else dict_lens[:0]
     total_word_chars = segment_sum_exact(word_lens, woff)
     mean_word_len = np.zeros(n, dtype=np.float64)
     mean_word_len[nz] = total_word_chars[nz] / n_words[nz]
@@ -139,22 +159,22 @@ def text_stats(
 
     # fraction of words containing at least one letter (Gopher ~80% rule);
     # \p{L} (RE2) == str.isalpha's category-L check in the scalar spec
-    has_alpha = pc.match_substring_regex(wvals, r"\p{L}")
+    dict_alpha = pc.match_substring_regex(wdct.dictionary, r"\p{L}").to_numpy(
+        zero_copy_only=False).astype(np.int64)
     alpha_counts = segment_sum_exact(
-        has_alpha.to_numpy(zero_copy_only=False).astype(np.int64), woff
+        dict_alpha[code_ids] if len(code_ids) else dict_alpha[:0], woff
     )
     alpha_word_fraction = np.zeros(n, dtype=np.float64)
     alpha_word_fraction[nz] = alpha_counts[nz] / n_words[nz]
 
-    is_stop = pc.is_in(norm, value_set=_STOPWORD_SET)
+    dict_stop = pc.is_in(norm_dict, value_set=_STOPWORD_SET).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     stop_counts = segment_sum_exact(
-        is_stop.to_numpy(zero_copy_only=False).astype(np.int64), woff
+        dict_stop[code_ids] if len(code_ids) else dict_stop[:0], woff
     )
     stop_fraction = np.zeros(n, dtype=np.float64)
     stop_fraction[nz] = stop_counts[nz] / n_words[nz]
 
-    codes = wvals.dictionary_encode()
-    code_ids = np.asarray(codes.indices, dtype=np.int64)
     dup2 = _dup2gram_fraction(code_ids, woff)
 
     lines = pc.split_pattern(texts, "\n")

@@ -1126,7 +1126,7 @@ def q_bigram_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        _, _, woff, norm = tokenize(b["text"])
+        _, _, woff, norm, _ = tokenize(b["text"])
         dct = norm.dictionary_encode()
         codes = np.asarray(dct.indices, dtype=np.int64)
         if len(codes) < 2:
