@@ -64,6 +64,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     flip = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions ({w}x{h})")
     stride = (w * 3 + 3) & ~3
     px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
     rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
@@ -170,6 +172,8 @@ def _ppm_frame_size(data: bytes, pos: int) -> tuple[int, int, int]:
     w, h, maxval = parts
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PPM dimensions ({w}x{h})")
     return w, h, i
 
 

@@ -79,7 +79,7 @@ def _bigram_slots_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     ppl_batch, so a trained model scores exactly what it counted)."""
     from .textstats import tokenize
 
-    _, _, woff, _, (wdct, norm_dict) = tokenize(texts)
+    _, _, woff, (wdct, norm_dict) = tokenize(texts)
     uniq_hash = np.array([token_hash(t) for t in norm_dict.to_pylist()],
                          dtype=np.int64)
     codes = np.asarray(wdct.indices, dtype=np.int64)
@@ -158,7 +158,7 @@ def ppl_batch(texts: pa.ChunkedArray | pa.Array, pre=None,
     closed-form model."""
     from .textstats import tokenize
 
-    _, _, woff, _, (wdct, norm_dict) = (
+    _, _, woff, (wdct, norm_dict) = (
         pre if pre is not None else tokenize(texts)
     )
     n = len(woff) - 1

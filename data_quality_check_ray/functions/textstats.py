@@ -101,14 +101,17 @@ def _dup2gram_fraction(codes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 def tokenize(texts: pa.ChunkedArray | pa.Array):
     """Shared tokenization: (filled_texts, word values, word offsets,
-    normalized words, (word dictionary, normalized dictionary)) —
-    computed once per batch and reused by the heuristics, perplexity and
-    stop-word kernels in the fused stage.
+    (word dictionary, normalized dictionary)) — computed once per batch
+    and reused by the heuristics, perplexity and stop-word kernels in the
+    fused stage.
 
     The dictionary pair is the bandwidth lever: per-word kernels (regex
     match, length, stop-word lookup, hashing) run over the UNIQUE words
     only and gather by code — on web text the vocabulary is a small
-    fraction of the token stream."""
+    fraction of the token stream.  The materialized normalized TOKEN
+    STREAM is deliberately NOT produced here (it would re-pay the
+    per-token string gather this factoring avoids); a consumer that
+    needs it takes ``pc.take(norm_dict, wdct.indices)``."""
     texts = as_single_array(texts)
     texts = pc.fill_null(pc.cast(texts, pa.large_string()), "")
     wvals, woff = split_words(texts)
@@ -116,10 +119,7 @@ def tokenize(texts: pa.ChunkedArray | pa.Array):
     norm_dict = as_single_array(
         pc.utf8_trim(pc.utf8_lower(wdct.dictionary), WORD_TRIM_CHARS)
     )
-    # elementwise identical to trim(lower(wvals)) — same pure function,
-    # factored through the dictionary
-    norm = as_single_array(pc.take(norm_dict, wdct.indices))
-    return texts, wvals, woff, norm, (wdct, norm_dict)
+    return texts, wvals, woff, (wdct, norm_dict)
 
 
 def text_stats(
@@ -130,7 +130,7 @@ def text_stats(
     Nulls are treated as empty text (zeros everywhere) — conformance drops
     them independently.  ``pre`` is an optional ``tokenize(...)`` result.
     """
-    texts, wvals, woff, norm, (wdct, norm_dict) = (
+    texts, wvals, woff, (wdct, norm_dict) = (
         pre if pre is not None else tokenize(texts)
     )
     n = len(texts)

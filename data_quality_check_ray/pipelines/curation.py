@@ -36,10 +36,11 @@ def prep_stage(batch: pa.Table) -> pa.Table:
     text, _ = nfc_normalize_column(batch["text"])
     stats = text_stats(text)
     lo, hi = content_hash128(text)
+    # text itself is NOT emitted: everything downstream works on digests
+    # and signals, so the heavy strings never leave this stage
     return pa.table({
         "doc_id": batch["doc_id"],
         "lang": batch["lang"],
-        "text": text,
         "n_words": pa.array(stats["n_words"]),
         "symbol_ratio": pa.array(stats["symbol_ratio"]),
         "stop_fraction": pa.array(stats["stop_fraction"]),
@@ -57,7 +58,10 @@ def build_curation_pipeline(ds, rates: dict | None = None,
     from ..functions.sampling import sample_mask
     from ..stages.joins import hash_join
 
-    prepped = ds.map_batches(prep_stage, batch_format="pyarrow")
+    # materialize: consumed by TWO branches (probe side + digest groupby);
+    # without this the expensive prep pass would execute twice.  Output is
+    # digests + scalar signals only (~60 bytes/doc), never the text.
+    prepped = ds.map_batches(prep_stage, batch_format="pyarrow").materialize()
 
     # exact-dup representative per content digest: digest-only shuffle,
     # then join the rep back onto the stream (right side is one row per
@@ -72,31 +76,47 @@ def build_curation_pipeline(ds, rates: dict | None = None,
             batch_format="pyarrow",
         )
     )
-    # join on a single packed digest key (both halves XOR-folded: the
-    # 128-bit digest is already uniform, folding keeps collisions at the
-    # 64-bit birthday bound of the JOIN ONLY — rep identity still used
-    # both halves)
-    def pack(b: pa.Table, id_cols) -> pa.Table:
+    # join on an XOR-folded 64-bit key (the join primitive takes one
+    # integer key) but CARRY the rep's full digest halves and post-filter
+    # on 128-bit equality — a folded-key collision (expected at 10^12
+    # docs) then yields a dropped spurious row, never a wrong label
+    def pack(b: pa.Table, id_cols, keep_fp: bool) -> pa.Table:
         key = (b["fp_lo"].to_numpy(zero_copy_only=False)
                ^ b["fp_hi"].to_numpy(zero_copy_only=False))
         out = pa.table({"fpk": key})
         for c in id_cols:
             out = out.append_column(c, b[c])
+        if keep_fp:
+            out = out.append_column("fp_lo", b["fp_lo"])
+            out = out.append_column("fp_hi", b["fp_hi"])
         return out
 
     left = prepped.map_batches(
         lambda b: pack(b, ["doc_id", "lang", "n_words", "symbol_ratio",
-                           "stop_fraction"]),
+                           "stop_fraction"], keep_fp=True),
         batch_format="pyarrow",
     )
     right = reps.map_batches(
-        lambda b: pack(b, ["rep_lo_id"]), batch_format="pyarrow"
+        lambda b: pa.table({
+            "fpk": (b["fp_lo"].to_numpy(zero_copy_only=False)
+                    ^ b["fp_hi"].to_numpy(zero_copy_only=False)),
+            "rep_lo_id": b["rep_lo_id"],
+            "rep_fp_lo": b["fp_lo"],
+            "rep_fp_hi": b["fp_hi"],
+        }),
+        batch_format="pyarrow",
     )
     joined = hash_join(left, right, key="fpk")
 
-    rates = rates or DEFAULT_RATES
+    rates = rates if rates is not None else DEFAULT_RATES
 
     def decide(b: pa.Table) -> pa.Table:
+        # drop folded-key collision rows: only the true 128-bit match is
+        # this document's representative
+        b = b.filter(pc.and_(
+            pc.equal(b["fp_lo"], b["rep_fp_lo"]),
+            pc.equal(b["fp_hi"], b["rep_fp_hi"]),
+        ))
         n = len(b)
         doc = b["doc_id"].to_numpy(zero_copy_only=False)
         rep = b["rep_lo_id"].to_numpy(zero_copy_only=False)

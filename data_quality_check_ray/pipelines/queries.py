@@ -1126,7 +1126,11 @@ def q_bigram_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        _, _, woff, norm, _ = tokenize(b["text"])
+        _, _, woff, (wdct, norm_dict) = tokenize(b["text"])
+        # normalized token stream needed here (bigram STRINGS are the
+        # output); dictionary_encode of the gathered stream dedupes the
+        # post-trim collisions
+        norm = pc.take(norm_dict, wdct.indices)
         dct = norm.dictionary_encode()
         codes = np.asarray(dct.indices, dtype=np.int64)
         if len(codes) < 2:

@@ -100,8 +100,11 @@ class ImageFeatureStage:
         for data in batch[self.payload_col].to_pylist():
             try:
                 dec = self._decode(data)
-            except (ValueError, struct_error):
-                dec = None  # corrupt payload: mark (nulls), never fail the job
+            except (ValueError, struct_error, OSError):
+                # corrupt payload: mark (nulls), never fail the job.
+                # OSError covers PIL's UnidentifiedImageError/truncated-file
+                # errors on deployments where PIL is present.
+                dec = None
             if dec is None:
                 heights.append(None); widths.append(None); chans.append(None)
                 means.append(None)
@@ -142,7 +145,7 @@ class ImageResizeStage:
                 continue
             try:
                 img = resize_bilinear(decode_image(data), self.out_h, self.out_w)
-            except (ValueError, struct_error):
+            except (ValueError, struct_error, OSError):
                 out.append(None)  # corrupt payload: mark, never fail the job
                 continue
             out.append(encode_bmp(np.ascontiguousarray(img)))

@@ -258,3 +258,19 @@ def test_corrupt_payloads_marked_not_fatal(quiet_data_context):
         AudioFrameStage, batch_format="pyarrow", concurrency=1))
     assert outa["sample_rate"][0].as_py() == 8000
     assert outa["sample_rate"][1].as_py() is None
+
+
+def test_zero_dimension_payloads_marked(quiet_data_context):
+    """Regression: a 0-width PPM / degenerate BMP header must be marked,
+    not crash resize with an IndexError."""
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.multimodal import ImageResizeStage
+
+    zero_ppm = b"P6\n0 5\n255\n"
+    t = pa.table({"payload": pa.array([zero_ppm], type=pa.binary())})
+    out = pa.concat_tables(
+        rd.from_arrow(t).map_batches(
+            ImageResizeStage, batch_format="pyarrow", concurrency=1
+        ).iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert out["payload_resized"][0].as_py() is None
