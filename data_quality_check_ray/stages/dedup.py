@@ -94,6 +94,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lo, hi = content_hash128(b[text_col])
         return pa.table({"fp_lo": lo, "fp_hi": hi, id_col: b[id_col]})
 
+    # NOTE: do NOT coalesce blocks before this groupby.  With ~one group
+    # per row (mostly-unique digests) the reduce cost is per-GROUP
+    # accumulator overhead, which the many-partition shuffle parallelizes;
+    # coalescing to a few blocks serializes it (measured 3x SLOWER at
+    # 3.2M docs).  The low-cardinality coalesce trick (_partial_combine)
+    # applies only when groups are few.
     return (ds.map_batches(h, batch_format="pyarrow")
             .groupby(["fp_lo", "fp_hi"]).min(id_col))
 
