@@ -106,7 +106,12 @@ def build_curation_pipeline(ds, rates: dict | None = None,
         }),
         batch_format="pyarrow",
     )
-    joined = hash_join(left, right, key="fpk")
+    # both join sides are projections of the already-materialized digest
+    # table: size buckets from its (instant) byte count instead of letting
+    # _auto_buckets re-materialize the projections (2x = left + rep side
+    # upper bound)
+    joined = hash_join(left, right, key="fpk",
+                       input_bytes=2 * (prepped.size_bytes() or 0) or None)
 
     rates = rates if rates is not None else DEFAULT_RATES
 

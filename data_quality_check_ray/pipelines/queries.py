@@ -575,13 +575,17 @@ def q_priority_revenue(sf_dir: str):
     order key), then grouped revenue per order priority — the explicit
     bucketed-join pattern for when neither side fits a broadcast
     (stages/joins.hash_join: hash-bucket both sides, merge per bucket)."""
-    from ..stages.joins import hash_join
+    from ..stages.joins import cheap_size_bytes, hash_join
 
     rd = _rd()
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+    # size join buckets from the column-pruned parquet READ metadata (free,
+    # footer-derived) BEFORE the transforms hide it — never materialize the
+    # join inputs just to count their bytes
+    join_bytes = (cheap_size_bytes(li) or 0)
 
     def derive(b: pa.Table) -> pa.Table:
         disc = pc.multiply(
@@ -593,6 +597,7 @@ def q_priority_revenue(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    join_bytes += cheap_size_bytes(orders) or 0
 
     def partial(t: pa.Table) -> pa.Table:
         # runs INSIDE the join reducer on the whole bucket (exact per
@@ -610,7 +615,7 @@ def q_priority_revenue(sf_dir: str):
         )
 
     joined = hash_join(li, orders, key="l_orderkey", right_key="o_orderkey",
-                       bucket_reduce=partial)
+                       bucket_reduce=partial, input_bytes=join_bytes or None)
 
     def final(t: pa.Table) -> pa.Table:
         g = t.group_by("o_orderpriority").aggregate(
@@ -666,7 +671,7 @@ def q_q3_shipping(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
 
-    from ..stages.joins import hash_join
+    from ..stages.joins import cheap_size_bytes, hash_join
 
     rd = _rd()
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
@@ -675,6 +680,10 @@ def q_q3_shipping(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
+    # footer-metadata byte estimate BEFORE the transforms (the filtered
+    # orders side only shrinks, so this upper-bounds the join input — a
+    # few extra buckets, never an undersized reducer)
+    join_bytes = cheap_size_bytes(orders) or 0
 
     def seg_filter(b: pa.Table) -> pa.Table:
         # null lookups (unknown custkey) compare null and are dropped by
@@ -688,6 +697,7 @@ def q_q3_shipping(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+    join_bytes += cheap_size_bytes(li) or 0
 
     def derive(b: pa.Table) -> pa.Table:
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
@@ -706,7 +716,7 @@ def q_q3_shipping(sf_dir: str):
     agg = hash_join(
         li.map_batches(derive, batch_format="pyarrow"),
         building_orders, key="l_orderkey", right_key="o_orderkey",
-        bucket_reduce=per_order,
+        bucket_reduce=per_order, input_bytes=join_bytes or None,
     )
     return agg.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
 

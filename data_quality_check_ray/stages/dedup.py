@@ -458,21 +458,30 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
     exact-Jaccard verify [map_batches over candidate rows only] ->
     connected_components_distributed -> rep assignment [left hash join].
     """
-    from .joins import hash_join
+    from .joins import buckets_for_bytes, cheap_size_bytes, hash_join
 
     uniq = pairs_ds.groupby(["a", "b"]).count().map_batches(
         lambda b: b.select(["a", "b"]), batch_format="pyarrow"
     )
+    # the text projection feeds BOTH attach joins: materialize it once
+    # (digest+text only — Ray spills to disk past object-store capacity)
+    # rather than letting each join size-probe and re-run the projection.
+    # Its measured bytes then size both joins' buckets with no extra pass.
     texts = ds.map_batches(
         lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-    )
-    with_a = hash_join(uniq, texts, key="a", right_key=id_col).map_batches(
+    ).materialize()
+    text_bytes = texts.size_bytes() or 0
+    pair_bytes = cheap_size_bytes(pairs_ds) or 0
+    nb = buckets_for_bytes(text_bytes + pair_bytes)
+    with_a = hash_join(uniq, texts, key="a", right_key=id_col,
+                       num_buckets=nb).map_batches(
         lambda b: b.rename_columns(
             ["__text_a" if c == text_col else c for c in b.column_names]
         ),
         batch_format="pyarrow",
     )
-    with_both = hash_join(with_a, texts, key="b", right_key=id_col)
+    with_both = hash_join(with_a, texts, key="b", right_key=id_col,
+                          num_buckets=nb)
 
     def verify(b: pa.Table) -> pa.Table:
         ta = b["__text_a"].to_pylist()
@@ -498,7 +507,9 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
             batch_format="pyarrow",
         )
     labels = connected_components_distributed(edges)
-    joined = hash_join(ids, labels, key=id_col, right_key="node", how="left")
+    joined = hash_join(ids, labels, key=id_col, right_key="node", how="left",
+                       input_bytes=(cheap_size_bytes(ds) or text_bytes)
+                       + (cheap_size_bytes(labels) or 0))
 
     def assign(b: pa.Table) -> pa.Table:
         # non-candidates have a null label after the left join -> self-rep
@@ -532,7 +543,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
     RuntimeError is raised instead of silently returning split components.
     This is the ray_guide.md alternative to driver-side union-find when the
     candidate-pair set is NOT provably small."""
-    from .joins import hash_join
+    from .joins import buckets_for_bytes, hash_join
 
     def to_nodes(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -566,6 +577,14 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
 
     edges_both = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
+    # size the per-round join buckets ONCE outside the loop (both inputs
+    # are materialized, so the byte counts are free; labels only shrink
+    # across rounds, edges_both is constant — the first-round total is the
+    # max the loop will ever see)
+    nb = buckets_for_bytes(
+        (edges_both.size_bytes() or 0) + (labels.size_bytes() or 0)
+    )
+
     # max_rounds propagation rounds + ONE verification round: the
     # sum-equality check can only observe convergence a round late, so
     # without the extra round a component converging exactly at round
@@ -575,7 +594,8 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
         # each node's label flows to every neighbor: join labels onto the
         # directed edge list, re-address to the neighbor, then take the min
         # of own + incoming labels
-        prop = hash_join(edges_both, labels, key="node").map_batches(
+        prop = hash_join(edges_both, labels, key="node",
+                         num_buckets=nb).map_batches(
             lambda b: pa.table({"node": b["x"], "label": b["label"]}),
             batch_format="pyarrow",
         )
@@ -677,4 +697,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             )
 
         return hashed.map_batches(assign, batch_format="pyarrow")
-    return hash_join(hashed, reps, key="simhash", num_buckets=64)
+    from .joins import buckets_for_bytes
+
+    return hash_join(hashed, reps, key="simhash",
+                     num_buckets=buckets_for_bytes(
+                         (hashed.size_bytes() or 0) + (reps.size_bytes() or 0)))

@@ -39,36 +39,66 @@ def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     return (x % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _auto_buckets(left_ds, right_ds) -> tuple[int, object, object]:
-    """Size bucket count from input bytes so each bucket's merge stays a
-    bounded-memory task at any input scale (a fixed B means bucket size
-    grows linearly with data — the 100-TB failure mode).
+def buckets_for_bytes(total_bytes: int | None) -> int:
+    """Input bytes -> bucket count (~128 MiB of joined input per bucket),
+    so a bucket's merge stays a bounded-memory task at any input scale (a
+    fixed B means bucket size grows linearly with data — the 100-TB
+    failure mode)."""
+    if not total_bytes or total_bytes <= 0:
+        return DEFAULT_BUCKETS
+    want = -(-int(total_bytes) // TARGET_BUCKET_BYTES)  # ceil div
+    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want)))
 
-    ``size_bytes()`` on a LAZY dataset triggers full execution, so the
-    inputs are materialized FIRST and the materialized handles are
-    returned for the join to reuse — sizing must never run the input
-    pipelines a second time.  (The groupby shuffle downstream is a
-    barrier anyway, so the materialization adds object-store residency,
-    not an extra pass; callers that must stream end-to-end pass
-    ``num_buckets`` explicitly.)"""
+
+def cheap_size_bytes(ds) -> int | None:
+    """In-memory size of a Dataset WITHOUT executing it, or None.
+
+    Known for (a) raw ``read_parquet`` datasets — Ray infers in-memory
+    size from parquet footer metadata, including column pruning, and the
+    estimate tracks the materialized size within a few % — and (b)
+    already-materialized datasets.  Transformed lazy datasets return None
+    (their ``size_bytes()`` would trigger a full execution — exactly the
+    probe this helper exists to avoid)."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def _auto_buckets(left_ds, right_ds) -> tuple[int, object, object]:
+    """Bucket count for a join whose caller gave no size hint.
+
+    First tries metadata-only sizing (``cheap_size_bytes``) — free for
+    parquet reads and materialized inputs.  Only when BOTH probes miss
+    (transformed lazy inputs, non-parquet lineage) does it fall back to
+    materializing the inputs, returning the materialized handles so
+    sizing never runs the input pipelines a second time.  Call sites on
+    the 100-TB path should pass ``num_buckets`` or ``input_bytes`` so the
+    fallback never fires."""
+    lb = cheap_size_bytes(left_ds)
+    rb = cheap_size_bytes(right_ds)
+    if lb is not None and rb is not None:
+        return buckets_for_bytes(lb + rb), left_ds, right_ds
     left_ds = left_ds.materialize()
     right_ds = right_ds.materialize()
     total = (left_ds.size_bytes() or 0) + (right_ds.size_bytes() or 0)
-    if total <= 0:
-        return DEFAULT_BUCKETS, left_ds, right_ds
-    want = -(-total // TARGET_BUCKET_BYTES)  # ceil div
-    return int(min(MAX_BUCKETS, max(MIN_BUCKETS, want))), left_ds, right_ds
+    return buckets_for_bytes(total), left_ds, right_ds
 
 
 def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
               how: str = "inner", suffix: str = "_r", right_key: str | None = None,
-              salt_keys=None, salt: int = 8, bucket_reduce=None):
+              salt_keys=None, salt: int = 8, bucket_reduce=None,
+              input_bytes: int | None = None):
     """Partitioned hash join of two Datasets on an integer key column.
 
     -> Dataset with left columns + right columns (right key renamed to the
     left's, clashes suffixed).  Shuffle volume = the two projected sides,
     once.  ``num_buckets=None`` sizes buckets from input bytes
-    (~128 MiB/bucket) so a bucket merge never outgrows one reducer.
+    (~128 MiB/bucket) so a bucket merge never outgrows one reducer;
+    ``input_bytes`` lets a caller supply that total from upstream
+    metadata (e.g. the pre-projection parquet reads) when the join inputs
+    themselves are transformed lazy datasets — avoiding _auto_buckets'
+    materialization fallback entirely.
 
     ``salt_keys``: keys hot enough that one reducer would drown (a giant
     host, a null-surrogate id).  Hot LEFT rows are split across ``salt``
@@ -87,7 +117,10 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
         raise ValueError("bucket_reduce requires unsalted buckets "
                          "(a salted key's groups span sub-buckets)")
     if num_buckets is None:
-        num_buckets, left_ds, right_ds = _auto_buckets(left_ds, right_ds)
+        if input_bytes is not None:
+            num_buckets = buckets_for_bytes(input_bytes)
+        else:
+            num_buckets, left_ds, right_ds = _auto_buckets(left_ds, right_ds)
     hot = (np.unique(np.asarray(list(salt_keys), dtype=np.int64))
            if salt_keys else None)
     salt = max(int(salt), 1)
@@ -136,9 +169,19 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
             is_hot = np.isin(keys, hot)
             base = _bucket_of(keys, num_buckets) * salt
             if side == "l":
-                # split hot probe rows round-robin across salt sub-buckets
+                # split hot probe rows round-robin across salt sub-buckets;
+                # offset the rotation by a deterministic function of the
+                # batch content so many small blocks don't all restart at
+                # sub-bucket 0 and skew hot rows toward low salt ids
                 salt_id = np.zeros(len(keys), dtype=np.int64)
-                salt_id[is_hot] = np.arange(int(is_hot.sum()), dtype=np.int64) % salt
+                n_hot = int(is_hot.sum())
+                if n_hot:
+                    start = int(_bucket_of(
+                        np.array([keys[0] ^ len(keys)], dtype=np.int64), salt
+                    )[0])
+                    salt_id[is_hot] = (
+                        start + np.arange(n_hot, dtype=np.int64)
+                    ) % salt
                 return out.append_column("__bucket", pa.array(base + salt_id))
             # right side: replicate hot build rows into EVERY sub-bucket
             pieces = [out.append_column("__bucket", pa.array(base))
@@ -287,7 +330,23 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
 
     ts_r = ts + suffix
 
-    def merge(g: pa.Table) -> pd.DataFrame:
+    # ONE fixed output schema for every partition: merge_asof promotes
+    # integer right columns to float64 only in partitions that have
+    # unmatched rows, so on skewed data fully-matched partitions would
+    # keep int64 and block schemas would diverge (failing downstream
+    # concat/write).  Promote right integer columns unconditionally
+    # (merge_asof's own unmatched-row promotion) and — critically —
+    # convert the pandas result back to ARROW against this schema inside
+    # the UDF: Ray's pandas->arrow block conversion degrades all-NaT /
+    # all-NaN columns (a partition whose right side is empty) to the null
+    # type, which this explicit-schema conversion prevents.
+    out_schema = pa.schema(
+        [(c, types[c]) for c in lcols]
+        + [(c, pa.float64() if pa.types.is_integer(types[c]) else types[c])
+           for c in r_out]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
         # one call per PARTITION: merge_asof(by=key) handles every key in
         # the partition in a single pass over the ts-sorted frames.
         # filter sides in ARROW first: after the split each side's own
@@ -298,24 +357,20 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
         )
         r = g.filter(pc.invert(is_l)).select([key] + r_out).to_pandas()
         r = r.rename(columns={key: "__rkey"}).sort_values(ts_r, kind="mergesort")
-        if l.empty:
-            return pd.DataFrame()
-        if r.empty:
-            # null columns typed the way merge_asof itself types unmatched
-            # rows: numeric -> float64 NaN, datetime -> NaT, else object
+        if l.empty or r.empty:
+            # null-pad (possibly zero) left rows; the l.empty case goes
+            # through the SAME typed construction so every partition emits
+            # one schema
             out = l.copy()
             for c in r_out:
-                dt = r.dtypes[c]
-                if np.issubdtype(dt, np.datetime64):
-                    out[c] = pd.Series(pd.NaT, index=out.index, dtype=dt)
-                elif np.issubdtype(dt, np.number):
-                    out[c] = np.nan
-                else:
-                    out[c] = pd.Series([None] * len(out), index=out.index,
-                                       dtype=object)
-            return out
-        return pd.merge_asof(
-            l, r, left_on=ts, right_on=ts_r, left_by=key, right_by="__rkey"
-        ).drop(columns=["__rkey"])
+                out[c] = pd.Series([None] * len(out), index=out.index,
+                                   dtype=object)
+        else:
+            out = pd.merge_asof(
+                l, r, left_on=ts, right_on=ts_r, left_by=key,
+                right_by="__rkey"
+            ).drop(columns=["__rkey"])
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
     return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
