@@ -30,19 +30,31 @@ def nfc_normalize_column(texts) -> tuple[pa.Array, pa.Array]:
     # ASCII rows are NFC fixed points: one vectorized check, no Python
     ascii_mask = pc.fill_null(pc.string_is_ascii(texts), True)
     idx = np.flatnonzero(~ascii_mask.to_numpy(zero_copy_only=False))
+    n_rows = len(texts)
     if len(idx) == 0:
-        return texts, pa.array(np.zeros(len(texts), dtype=bool))
-    raw = texts.to_pylist()
-    changed = np.zeros(len(raw), dtype=bool)
-    for i in idx.tolist():
-        t = raw[i]
+        return texts, pa.array(np.zeros(n_rows, dtype=bool))
+    # pull ONLY the non-ASCII minority through Python (pc.take by index),
+    # not the whole batch — the ASCII majority of web text never leaves
+    # Arrow
+    subset = pc.take(texts, pa.array(idx)).to_pylist()
+    changed = np.zeros(n_rows, dtype=bool)
+    replacements: dict[int, str] = {}
+    for pos, t in zip(idx.tolist(), subset):
         if t is None:
             continue
         n = unicodedata.normalize("NFC", t)
         if n != t:
-            raw[i] = n
-            changed[i] = True
-    return pa.array(raw, type=texts.type), pa.array(changed)
+            replacements[pos] = n
+            changed[pos] = True
+    if not replacements:
+        return texts, pa.array(changed)
+    # splice the few normalized rows back: replace-by-mask via if_else
+    # over a sparse replacement array aligned to the batch
+    repl = np.full(n_rows, None, dtype=object)
+    for pos, v in replacements.items():
+        repl[pos] = v
+    out = pc.if_else(pa.array(changed), pa.array(repl, type=texts.type), texts)
+    return out, pa.array(changed)
 
 
 def nfc_stage(batch: pa.Table, col: str = "text",

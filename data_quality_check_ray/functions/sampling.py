@@ -37,17 +37,31 @@ def _rate_to_threshold_256(rate: float) -> int:
 
 
 def hash_bucket_256(keys, mode: str = "fast") -> np.ndarray:
-    """Row keys -> uint buckets in [0, 256)."""
-    if hasattr(keys, "to_pylist"):
-        keys = keys.to_pylist()
+    """Row keys -> uint buckets in [0, 256).
+
+    fast mode hashes integer keys DIRECTLY with the vectorized 64-bit
+    hash (no per-row Python at all); non-integer keys fall back to one
+    object-array hash.  The integer fast path produces a different (still
+    uniform, still deterministic) bucket assignment than hashing str(k) —
+    fine for the engine-internal mode; md5 stays bit-compatible with the
+    SQL oracle."""
     if mode == "md5":
+        if hasattr(keys, "to_pylist"):
+            keys = keys.to_pylist()
         return np.fromiter(
             (hashlib.md5(str(k).encode()).digest()[0] for k in keys),
             dtype=np.int64, count=len(keys),
         )
     if mode == "fast":
-        obj = np.asarray([str(k) for k in keys], dtype=object)
-        return (pd.util.hash_array(obj) & np.uint64(0xFF)).astype(np.int64)
+        if hasattr(keys, "to_numpy"):  # arrow Array/ChunkedArray
+            arr = keys.to_numpy(zero_copy_only=False)
+        else:
+            arr = np.asarray(keys)
+        if np.issubdtype(arr.dtype, np.integer):
+            h = pd.util.hash_array(arr.astype(np.int64, copy=False))
+        else:
+            h = pd.util.hash_array(arr.astype(object))
+        return (h & np.uint64(0xFF)).astype(np.int64)
     raise ValueError(f"unknown hash mode: {mode}")
 
 

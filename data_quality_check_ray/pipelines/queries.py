@@ -82,6 +82,20 @@ def _lookup(ref, probe) -> pa.Array:
 # ---------------------------------------------------------------------------
 
 
+def _pool_cap(floor: int = 4) -> int:
+    """Autoscaling actor-pool max sized to the session: leave ~4 CPUs for
+    the read/write stages, never below ``floor``.  A hard-coded cap of 4
+    left 28 cores idle on a 32-CPU box and put the capped stages among the
+    slowest queries in BENCH_r02 (3.7-4.0 s vs ~1 s peers)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return max(floor, cpus - 4)
+
+
 def _partial_combine(ds, partial, combine):
     """Two-level aggregation for BOUNDED-cardinality group keys (languages,
     days, priorities, regions): Arrow partials per block inside
@@ -462,7 +476,7 @@ def q_json_conform(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return ds.map_batches(
-        _JsonConformStage, batch_format="pyarrow", concurrency=(1, 4)
+        _JsonConformStage, batch_format="pyarrow", concurrency=(1, _pool_cap())
     )
 
 
@@ -879,17 +893,26 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         return pa.table({"shid": ids, "doc_id": b["doc_id"]})
 
     # materialize the (shid, doc) rows: they are consumed twice (sizes +
-    # collect) and are ~16 bytes/shingle — small relative to the corpus
+    # pair expansion) and are ~16 bytes/shingle — small relative to the corpus
     sh_rows = (
         ds.map_batches(shingles, batch_format="pyarrow")
         .map_batches(hash_shingles, batch_format="pyarrow")
         .materialize()
     )
 
-    # set sizes per doc (small side: one row per doc); consumed on the
-    # driver only, so a plain dict suffices — no object-store put
-    sizes_pdf = sh_rows.groupby("doc_id").count().to_pandas()
-    sizes = dict(zip(sizes_pdf["doc_id"], sizes_pdf["count()"]))
+    # set sizes per doc: one row per doc, shipped to every reducer as ONE
+    # compact Arrow pair through the object store (~16 bytes/doc — vs the
+    # previous driver-side Python dict at ~100 bytes/entry, which was a
+    # genuine materialization scale-killer even for exact mode).  At
+    # 10^12 docs the exact-mode query itself is out of scope (the scale
+    # path is MinHash-LSH prefiltering, stages/dedup.minhash_dedup); this
+    # broadcast is sized to the corpora the oracle-checkable exact mode
+    # actually runs on.
+    sizes_tbl = pa.concat_tables(
+        sh_rows.groupby("doc_id").count()
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    sizes_ref = _bcast_pairs(sizes_tbl["doc_id"], sizes_tbl["count()"])
 
     # expand co-occurrence pairs partition-wise (stages/dedup.grouped_pairs:
     # hash-partition by shingle id, vectorized run expansion per partition —
@@ -900,44 +923,50 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     pair_batches = grouped_pairs(sh_rows, key_col="shid", id_col="doc_id",
                                  cap=None)
 
-    # final reduction on the driver: the pair stream is ~16 bytes/pair and
-    # provably small (bounded by shingle co-occurrence); a distributed
-    # 2-key groupby over it costs more in scheduling than the numpy
-    # bincount does in total.  At 10^12 docs prefilter candidates with
-    # MinHash-LSH first (stages/dedup.minhash_dedup) — this query is the
-    # exact-mode variant the DuckDB oracle can verify.
-    parts = []
-    for t in pair_batches.iter_batches(batch_size=None, batch_format="pyarrow"):
-        if len(t):
-            parts.append(
-                np.stack(
-                    [
-                        t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                        t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    ],
-                    axis=1,
-                )
-            )
-    if not parts:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64()),
-                         "jac": pa.array([], type=pa.float64())})
-    allp = np.concatenate(parts)
-    if allp.max() < (1 << 31):  # packed fast path
-        pk, counts = np.unique(allp[:, 0] * (1 << 31) + allp[:, 1], return_counts=True)
-        a = pk >> 31
-        bb = pk & ((1 << 31) - 1)
-    else:  # doc ids beyond 2^31: exact 2-column unique (no silent wrap)
-        upairs, counts = np.unique(allp, axis=0, return_counts=True)
-        a, bb = upairs[:, 0], upairs[:, 1]
-    i = counts.astype(np.float64)
-    na = np.array([sizes[int(x)] for x in a], dtype=np.float64)
-    nb = np.array([sizes[int(x)] for x in bb], dtype=np.float64)
-    j = i / (na + nb - i)
-    keep = j >= 0.8
-    return pa.table(
-        {"a": a[keep], "b": bb[keep], "jac": _round_half_away(j[keep], 3)}
-    )
+    # distributed pair reduction: per-block np.unique partials (pack the
+    # pair into one int64 when doc ids fit 31 bits, exact 2-column unique
+    # otherwise), then one bounded combine that sums intersections and
+    # computes the Jaccard against the broadcast sizes — nothing streams
+    # through the driver.
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        if a.max() < (1 << 31) and b.max() < (1 << 31):
+            pk, counts = np.unique(a * (1 << 31) + b, return_counts=True)
+            ua, ub = pk >> 31, pk & ((1 << 31) - 1)
+        else:  # ids beyond 2^31: exact 2-column unique (no silent wrap)
+            up, counts = np.unique(np.stack([a, b], axis=1), axis=0,
+                                   return_counts=True)
+            ua, ub = up[:, 0], up[:, 1]
+        return pa.table({"a": ua, "b": ub, "c": counts.astype(np.int64)})
+
+    def pair_combine(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "jac": pa.array([], type=pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["a", "b"]).aggregate([("c", "sum")])
+        i = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = _lookup(sizes_ref, g["a"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        nb = _lookup(sizes_ref, g["b"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        j = i / (na + nb - i)
+        keep = j >= 0.8
+        if not keep.any():
+            return empty
+        return pa.table({
+            "a": g["a"].to_numpy(zero_copy_only=False)[keep],
+            "b": g["b"].to_numpy(zero_copy_only=False)[keep],
+            "jac": _round_half_away(j[keep], 3),
+        })
+
+    return _partial_combine(pair_batches, pair_partial, pair_combine)
 
 
 def q_user_sessions(sf_dir: str):
@@ -1149,11 +1178,21 @@ def q_bigram_counts(sf_dir: str):
         row_ids = row_ids_from_offsets(woff)
         same = row_ids[:-1] == row_ids[1:]
         c1, c2 = codes[:-1][same], codes[1:][same]
-        base = np.int64(int(codes.max()) + 1)
-        packed, counts = np.unique(c1 * base + c2, return_counts=True)
+        # guard in PYTHON ints (same rationale as textstats._dup2gram_
+        # fraction): base*base past ~2^31 codes silently wraps in int64
+        # and would corrupt counts while looking plausible
+        base_py = int(codes.max()) + 1
+        if base_py * base_py < (1 << 62):  # packed fast path fits int64
+            base = np.int64(base_py)
+            packed, counts = np.unique(c1 * base + c2, return_counts=True)
+            i1, i2 = packed // base, packed % base
+        else:  # pathological per-batch vocabulary: exact 2-column unique
+            up, counts = np.unique(np.stack([c1, c2], axis=1), axis=0,
+                                   return_counts=True)
+            i1, i2 = up[:, 0], up[:, 1]
         w = dct.dictionary
-        s1 = pc.take(w, pa.array(packed // base))
-        s2 = pc.take(w, pa.array(packed % base))
+        s1 = pc.take(w, pa.array(i1))
+        s2 = pc.take(w, pa.array(i2))
         bg = pc.binary_join_element_wise(
             pc.cast(s1, pa.large_string()), pc.cast(s2, pa.large_string()),
             pa.scalar(" ", pa.large_string()),
@@ -1386,7 +1425,7 @@ def q_image_stats(sf_dir: str):
 
     return ds.map_batches(make, batch_format="pyarrow").map_batches(
         _ImageStatsStage, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _pool_cap()),
     )
 
 
@@ -1442,7 +1481,7 @@ def q_video_frame_stats(sf_dir: str):
 
     return ds.map_batches(make, batch_format="pyarrow").map_batches(
         _VideoStatsStage, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _pool_cap()),
     )
 
 
@@ -1496,7 +1535,7 @@ def q_audio_frame_rms(sf_dir: str):
 
     return ds.map_batches(make, batch_format="pyarrow").map_batches(
         _AudioRmsStage, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
+        concurrency=(1, _pool_cap()),
     )
 
 

@@ -27,29 +27,77 @@ def read_pages(paths, columns: list[str] | None = None, **kwargs):
 
 
 def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
-    """Vectorizable per-batch bridge: one document row -> one page row.
+    """Fully vectorized per-batch bridge: one document row -> one page row.
 
     url is keyed by doc_id (deterministic), warc_ts = base + doc_id seconds,
     html = the standard boilerplate wrap of text (so the extractor's
-    byte-identical invariant is exercised on driver data too).
+    byte-identical invariant is exercised on driver data too).  All Arrow
+    kernels — the wrap is the element-wise mirror of ``synth.wrap_html``
+    (escape &/</> in that order, join lines with </p>\\n<p>, concat the
+    boilerplate) proven byte-identical by the golden bridge test; this
+    stage feeds the headline ``pages_pipeline``/``host_topk`` path, where
+    the previous per-row dict loop paid Python cost the engine's own
+    style rules prohibit.
     """
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    sources = batch["source"].to_pylist()
-    rows = []
-    for did, text, lang, src in zip(doc_ids, texts, langs, sources):
-        host = f"{src}.docs.example.org"
-        rows.append(
-            {
-                "url": f"https://{host}/{did}",
-                "warc_ts": _BASE_TS_US + int(did) * 1_000_000,
-                "html": wrap_html(text, host) if text is not None else None,
-                "text": text,
-                "lang": lang,
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    doc_id = one(batch["doc_id"])
+    text = pc.cast(one(batch["text"]), pa.large_string())
+    sep = pa.scalar("", pa.string())
+
+    host = pc.binary_join_element_wise(
+        pc.cast(one(batch["source"]), pa.string()),
+        pa.scalar(".docs.example.org", pa.string()), sep,
+    )
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://", pa.string()), host, pa.scalar("/", pa.string()),
+        pc.cast(doc_id, pa.string()), sep,
+    )
+    ts = pa.array(
+        _BASE_TS_US
+        + doc_id.to_numpy(zero_copy_only=False).astype(np.int64) * 1_000_000,
+        type=pa.timestamp("us"),
+    )
+    # escape_html, element-wise, SAME replacement order (& first)
+    esc = pc.replace_substring(text, "&", "&amp;")
+    esc = pc.replace_substring(esc, "<", "&lt;")
+    esc = pc.replace_substring(esc, ">", "&gt;")
+    paragraphs = pc.binary_join(
+        pc.split_pattern(esc, "\n"), pa.scalar("</p>\n<p>", pa.large_string())
+    )
+    html = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>", pa.large_string()),
+        pc.cast(host, pa.large_string()),
+        pa.scalar(
+            '</title></head><body><nav><a href="/">Home</a> | '
+            '<a href="/about">About</a> | <a href="/contact">Contact</a>'
+            "</nav><main><p>",
+            pa.large_string(),
+        ),
+        paragraphs,
+        pa.scalar("</p></main><footer>&copy; 2024 ", pa.large_string()),
+        pc.cast(host, pa.large_string()),
+        pa.scalar(
+            " — all rights reserved</footer></body></html>", pa.large_string()
+        ),
+        pa.scalar("", pa.large_string()),
+        # null text -> null html (matches the scalar bridge's None check)
+    )
+    html = pc.cast(pc.cast(html, pa.large_binary()), pa.binary())
+    return pa.table(
+        {
+            "url": url,
+            "warc_ts": ts,
+            "html": html,
+            "text": text,
+            "lang": pc.cast(one(batch["lang"]), pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
 
 
 def pages_from_documents(sf_dir: str):

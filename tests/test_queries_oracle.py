@@ -27,6 +27,7 @@ CHECKED = [
     "ann_topk",
     "user_sessions",
     "embed_dup_pairs",
+    "ngram_jaccard_pairs",
     "priority_revenue",
     "asof_purchase_before_error",
     "q3_shipping",
