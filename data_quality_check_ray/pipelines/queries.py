@@ -1069,12 +1069,17 @@ def q_doc_len_quantiles(sf_dir: str):
 def q_curation_pipeline(sf_dir: str):
     """End-to-end corpus curation (pipelines/curation): NFC normalize ->
     quality signals -> exact-dup assignment (digest-only shuffle + bucketed
-    join-back) -> keep/drop -> deterministic survivor sampling.  Rows-only:
-    the composition uses engine hashes (128-bit content digest, key-hash
-    sampling) with no SQL equivalent; each constituent operator is
-    oracle-checked separately."""
-    from .curation import build_curation_pipeline
+    join-back) -> keep/drop -> deterministic survivor sampling.
 
+    Differentially oracle-checked: an independent row-at-a-time scalar
+    reimplementation (pipelines/oracle_refs.write_curation_reference)
+    writes the expected labels to parquet and the oracle SQL reads them —
+    the engine's digest/hash composition has no SQL equivalent, but its
+    output is a deterministic function of the corpus."""
+    from .curation import build_curation_pipeline
+    from .oracle_refs import write_curation_reference
+
+    write_curation_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
@@ -1094,19 +1099,33 @@ def q_approx_distinct_users(sf_dir: str):
 
 
 def q_pages_pipeline(sf_dir: str):
-    """Flagship quality pipeline over pages synthesized from documents."""
+    """Flagship quality pipeline over pages synthesized from documents.
+
+    Differentially oracle-checked: the pinned scalar spec labels the same
+    bridged pages row-at-a-time into a parquet the oracle SQL reads
+    (pipelines/oracle_refs.write_pages_reference) — keep/drop, scrubbed
+    text, scores and stats all hash-compared, not rows-only."""
     from ..sources.pages import pages_from_documents
+    from .oracle_refs import write_pages_reference
     from .quality import build_pipeline
 
+    write_pages_reference(sf_dir)
     return build_pipeline(pages_from_documents(sf_dir)).select_columns(
         ["url", "lang_pred", "lang_score", "ppl", "n_chars", "n_words", "keep", "drop_reason", "text_scrubbed"]
     )
 
 
 def q_langid_documents(sf_dir: str):
-    """Language-ID predictions over the documents corpus."""
-    from ..functions.langid_model import langid_scores
+    """Language-ID predictions over the documents corpus.
 
+    Differentially oracle-checked: the pinned scalar spec
+    (langid_model.score_scalar, same float32 op order by construction)
+    labels the same corpus row-at-a-time into a parquet the oracle SQL
+    reads (pipelines/oracle_refs.write_langid_reference)."""
+    from ..functions.langid_model import langid_scores
+    from .oracle_refs import write_langid_reference
+
+    write_langid_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
@@ -1125,18 +1144,30 @@ def q_langid_documents(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dup clustering over documents."""
-    from ..stages.dedup import minhash_dedup
+    """MinHash-LSH near-dup clustering over documents.
 
+    Differentially oracle-checked: a row-at-a-time Python-int MinHash-LSH
+    (pipelines/oracle_refs.write_minhash_reference — same constants,
+    permutations, band keys, caps) writes the expected clusters to a
+    parquet the oracle SQL reads."""
+    from ..stages.dedup import minhash_dedup
+    from .oracle_refs import write_minhash_reference
+
+    write_minhash_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup(ds)
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash exact-collision dedup over documents."""
-    from ..stages.dedup import simhash_dedup
+    """SimHash exact-collision dedup over documents.
 
+    Differentially oracle-checked against a per-token scalar simhash
+    (pipelines/oracle_refs.write_simhash_reference)."""
+    from ..stages.dedup import simhash_dedup
+    from .oracle_refs import write_simhash_reference
+
+    write_simhash_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup(ds)
@@ -1908,6 +1939,36 @@ ORACLE_SQL = {
                CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
                CAST(500 + (doc_id % 97) * 300 AS DOUBLE) AS rms0
         FROM documents
+    """,
+    "pages_pipeline": """
+        -- differential oracle: pinned scalar-spec labels for the bridged
+        -- pages (pipelines/oracle_refs.write_pages_reference)
+        SELECT url, lang_pred, lang_score, ppl, n_chars, n_words, keep,
+               drop_reason, text_scrubbed
+        FROM read_parquet('/tmp/dqcr_oracle/pages_pipeline.parquet')
+    """,
+    "simhash_dedup": """
+        -- differential oracle: per-token scalar simhash + min-id reps
+        SELECT doc_id, simhash, rep_id
+        FROM read_parquet('/tmp/dqcr_oracle/simhash_dedup.parquet')
+    """,
+    "minhash_dedup": """
+        -- differential oracle: Python-int MinHash-LSH clusters
+        SELECT doc_id, rep_id, is_dup
+        FROM read_parquet('/tmp/dqcr_oracle/minhash_dedup.parquet')
+    """,
+    "langid_documents": """
+        -- differential oracle: the pinned scalar spec labeled the same
+        -- corpus row-at-a-time (pipelines/oracle_refs) — the vectorized
+        -- engine must match it bit-for-bit, including float32 scores
+        SELECT doc_id, lang_claimed, lang_pred, lang_score
+        FROM read_parquet('/tmp/dqcr_oracle/langid_documents.parquet')
+    """,
+    "curation_pipeline": """
+        -- differential oracle: independent scalar curation labels
+        -- (pipelines/oracle_refs.write_curation_reference)
+        SELECT doc_id, lang, keep, drop_reason
+        FROM read_parquet('/tmp/dqcr_oracle/curation_pipeline.parquet')
     """,
     "host_topk": """
         -- pages are a deterministic function of documents

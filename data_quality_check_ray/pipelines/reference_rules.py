@@ -56,6 +56,11 @@ def label_row(row: dict, rules: RuleConfig = RuleConfig()) -> dict:
         "lang_score": 0.0,
         "ppl": float(PPL_SENTINEL),
         "text_scrubbed": None,
+        # stats are emitted for EVERY row with text, even conform-dropped
+        # ones (textstats treats null text as zeros) — same contract as
+        # the engine's stats stage
+        "n_chars": len(text) if text is not None else 0,
+        "n_words": len(text.split()) if text is not None else 0,
     }
 
     def done(reason: str) -> dict:

@@ -33,6 +33,13 @@ CHECKED = [
     "q3_shipping",
     "supplier_stats",
     "part_size_median",
+    "host_topk",
+    # differential oracles (scalar-spec reference parquet, oracle_refs.py)
+    "langid_documents",
+    "curation_pipeline",
+    "pages_pipeline",
+    "simhash_dedup",
+    "minhash_dedup",
 ]
 
 
@@ -86,7 +93,7 @@ def test_rows_only_queries_run(quiet_data_context):
     import __ray_entry__ as e
 
     qs = e.queries()
-    for name in ("langid_documents", "simhash_dedup", "host_topk"):
+    for name in ("approx_distinct_users", "doc_len_quantiles"):
         out = _to_pandas(qs[name](SF_DIR))
         assert len(out) > 0, name
 
