@@ -45,6 +45,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="stop after N partitions (smoke runs / draining)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="ray.init num_cpus when starting a local session")
+    ap.add_argument("--watch", type=float, default=0.0, metavar="SECONDS",
+                    help="daemon mode: re-scan the input dir every "
+                         "SECONDS and process only partitions that are "
+                         "new/changed per the manifest diff (the "
+                         "reference config-producer's --loop + interval, "
+                         "config-producer-proto/src/main.rs:113-117); "
+                         "0 = one-shot")
+    ap.add_argument("--max-scans", type=int, default=0,
+                    help="watch mode: stop after N scans (0 = forever); "
+                         "for tests and bounded drains")
     ap.add_argument("--log-level", default="info")
     args = ap.parse_args(argv)
 
@@ -72,23 +82,42 @@ def main(argv: list[str] | None = None) -> int:
         if args.concurrency
         else PipelineConfig().model_concurrency
     )
-    summary = run(
-        RunConfig(
-            input_dir=args.input,
-            output_dir=args.output,
-            pipeline=PipelineConfig(
-                extract_batch_size=args.extract_batch_size,
-                model_batch_size=args.model_batch_size,
-                model_concurrency=conc,
-                schema_file=args.schema_file,
-                stage_metrics=args.stage_metrics,
-            ),
-            files_per_partition=args.files_per_partition,
-            hash_groups=args.hash_groups,
-            clean_stale=args.clean_stale,
-            max_partitions=args.max_partitions,
-        )
+    cfg = RunConfig(
+        input_dir=args.input,
+        output_dir=args.output,
+        pipeline=PipelineConfig(
+            extract_batch_size=args.extract_batch_size,
+            model_batch_size=args.model_batch_size,
+            model_concurrency=conc,
+            schema_file=args.schema_file,
+            stage_metrics=args.stage_metrics,
+        ),
+        files_per_partition=args.files_per_partition,
+        hash_groups=args.hash_groups,
+        clean_stale=args.clean_stale,
+        max_partitions=args.max_partitions,
     )
+    if args.watch > 0:
+        # daemon re-scan loop over the existing manifest diff: each scan
+        # replans against the CURRENT input dir and processes only
+        # partitions the manifest doesn't already mark done (use
+        # --hash-groups for append-stable planning so a growing dir only
+        # reprocesses groups that gained files)
+        import time
+
+        scan = 0
+        summary = None
+        while True:
+            scan += 1
+            summary = run(cfg)
+            summary["scan"] = scan
+            print(json.dumps(summary), flush=True)
+            if args.max_scans and scan >= args.max_scans:
+                break
+            time.sleep(args.watch)
+        ray.shutdown()
+        return 0 if summary["complete"] else 1
+    summary = run(cfg)
     print(json.dumps(summary))
     ray.shutdown()
     return 0 if summary["complete"] else 1

@@ -97,3 +97,36 @@ def test_run_module_cli_end_to_end(tmp_path_factory):
 
     files = g.glob(str(out) + "/part-*/*.parquet")
     assert files
+
+
+def test_run_watch_mode_processes_only_new_files(tmp_path_factory):
+    """--watch daemon loop (the reference config-producer's --loop +
+    interval): scan 1 processes the initial files; a file added between
+    scans is picked up by scan 2, which reprocesses ONLY the hash group
+    that gained the file and skips the rest."""
+    d = tmp_path_factory.mktemp("watch_in")
+    synth.write_pages_parquet(str(d), 200, num_files=2)
+    out = tmp_path_factory.mktemp("watch_out")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "data_quality_check_ray.run",
+         "--input", str(d), "--output", str(out),
+         "--num-cpus", "4", "--concurrency", "2",
+         "--hash-groups", "4", "--watch", "1.0", "--max-scans", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        line1 = json.loads(p.stdout.readline())
+        assert line1["scan"] == 1 and line1["complete"]
+        assert line1["partitions_done_now"] >= 1
+        # grow the input dir while the daemon sleeps
+        synth.write_pages_parquet(str(d), 300, num_files=3)
+        line2 = json.loads(p.stdout.readline())
+        assert line2["scan"] == 2 and line2["complete"]
+        # only the group(s) that gained the new file reprocess
+        assert 1 <= line2["partitions_done_now"] < line2["partitions_total"]
+        assert line2["partitions_skipped"] >= 1
+        assert p.wait(timeout=120) == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
