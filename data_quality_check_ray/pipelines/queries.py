@@ -925,16 +925,22 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
     # distributed pair reduction: per-block np.unique partials (pack the
     # pair into one int64 when doc ids fit 31 bits, exact 2-column unique
-    # otherwise), then one bounded combine that sums intersections and
-    # computes the Jaccard against the broadcast sizes — nothing streams
-    # through the driver.
+    # otherwise), then PARALLEL combines hash-partitioned on `a` — every
+    # occurrence of a pair lands in one partition, so each partition's
+    # group-sum is globally exact and the Jaccard computes right there
+    # against the broadcast sizes.  Nothing streams through the driver.
+    from ..stages.joins import _bucket_of
+
+    n_parts = 32
+
     def pair_partial(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(a) == 0:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
-                             "c": pa.array([], type=pa.int64())})
+                             "c": pa.array([], type=pa.int64()),
+                             "__part": pa.array([], type=pa.int64())})
         if a.max() < (1 << 31) and b.max() < (1 << 31):
             pk, counts = np.unique(a * (1 << 31) + b, return_counts=True)
             ua, ub = pk >> 31, pk & ((1 << 31) - 1)
@@ -942,7 +948,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             up, counts = np.unique(np.stack([a, b], axis=1), axis=0,
                                    return_counts=True)
             ua, ub = up[:, 0], up[:, 1]
-        return pa.table({"a": ua, "b": ub, "c": counts.astype(np.int64)})
+        return pa.table({"a": ua, "b": ub, "c": counts.astype(np.int64),
+                         "__part": _bucket_of(ua, n_parts)})
 
     def pair_combine(t: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
@@ -966,7 +973,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             "jac": _round_half_away(j[keep], 3),
         })
 
-    return _partial_combine(pair_batches, pair_partial, pair_combine)
+    return (
+        pair_batches.map_batches(pair_partial, batch_format="pyarrow",
+                                 batch_size=None)
+        .groupby("__part")
+        .map_groups(pair_combine, batch_format="pyarrow")
+    )
 
 
 def q_user_sessions(sf_dir: str):

@@ -528,17 +528,20 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 
-def connected_components_distributed(edges_ds, max_rounds: int = 8):
+def connected_components_distributed(edges_ds, max_rounds: int = 24):
     """Edge Dataset (a:int64, b:int64) -> Dataset (node, label) where label
     is the min node id of the connected component.
 
-    Iterative min-label propagation: each round is ONE bucketed hash join
-    (labels onto directed edges) + ONE groupby-min — both existing
-    block-parallel primitives, so a round costs two bounded shuffles and no
-    per-node Python (the previous per-node ``map_groups`` spread paid one
-    pandas DataFrame per graph node per round).  Converges in O(component
-    diameter) rounds.  Convergence is verified: labels decrease
-    monotonically, so an unchanged label SUM means a fixed point — if
+    Each round = min-label propagation (ONE bucketed hash join of labels
+    onto directed edges + ONE groupby-min) followed by POINTER JUMPING
+    (``label <- label[label]``, one more join): jumping halves the
+    distance to each component's minimum every round, so convergence is
+    O(log diameter) rounds rather than O(diameter) — a 200k-doc web
+    corpus produced a verified near-dup chain deeper than 8 hops, which
+    plain propagation could not close in any practical round budget
+    (observed non-convergence, round 3).  Labels only ever decrease and
+    label[l] <= l invariantly, so the jump is exact.  Convergence is
+    verified: an unchanged label SUM means a fixed point — if
     ``max_rounds`` is exhausted while labels are still changing, a
     RuntimeError is raised instead of silently returning split components.
     This is the ray_guide.md alternative to driver-side union-find when the
@@ -608,6 +611,23 @@ def connected_components_distributed(edges_ds, max_rounds: int = 8):
             )
             .materialize()
         )
+        # pointer jump: label <- label[label].  Every label value IS a node
+        # in `labels` (labels are node ids), so an inner self-join on
+        # (label == node) finds each node's grandparent label; label[l] <= l
+        # makes the jump monotone and exact.  This is what turns O(diameter)
+        # propagation into O(log diameter).  (The probe side renames its
+        # columns first so the self-join's key rename cannot collide.)
+        grand = labels.map_batches(
+            lambda t: t.rename_columns(["node", "plabel"]),
+            batch_format="pyarrow",
+        )
+        labels = hash_join(
+            labels, grand, key="label", right_key="node",
+            num_buckets=nb,
+        ).map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["plabel"]}),
+            batch_format="pyarrow",
+        ).materialize()
         # labels only ever decrease -> equal sums == fixed point reached
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:

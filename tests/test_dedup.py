@@ -160,3 +160,29 @@ def test_short_docs_are_not_false_minhash_dups(quiet_data_context):
     assert not out.loc[0, "is_dup"] and not out.loc[1, "is_dup"] and not out.loc[2, "is_dup"]
     assert out.loc[4, "rep_id"] == 3  # real near-dups still found
     assert dedup.jaccard_scalar("red blue", "quantum theory") == 0.0
+
+
+def test_distributed_cc_long_chain_converges(quiet_data_context):
+    """The 200k-corpus failure mode: a near-dup CHAIN much deeper than any
+    practical plain-propagation round budget.  Pointer jumping must close
+    a 300-hop path in O(log diameter) rounds."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.dedup import (
+        connected_components_distributed,
+    )
+
+    n = 300
+    t = pa.table({
+        "a": np.arange(n - 1, dtype=np.int64) + 1000,
+        "b": np.arange(1, n, dtype=np.int64) + 1000,
+    })
+    out = (
+        connected_components_distributed(
+            rd.from_arrow(t).repartition(4), max_rounds=12
+        )
+        .to_pandas()
+    )
+    assert len(out) == n
+    assert (out["label"] == 1000).all()
