@@ -528,6 +528,33 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _label_sum_exact(labels_ds) -> int:
+    """Exact Python-int sum of the label column at any id magnitude.
+
+    ``ds.sum`` wraps: 63-bit hash ids sum past int64 within ~200k rows
+    (observed ArrowConversionError in the reduce).  Split each label into
+    three 22-bit parts, sum parts per block (fits uint64 to ~1e13 rows per
+    block), combine the tiny per-block partials in Python ints."""
+    m = np.uint64((1 << 22) - 1)
+
+    def part(b: pa.Table) -> pa.Table:
+        l = b["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "s0": pa.array([int((l & m).sum())], type=pa.int64()),
+            "s1": pa.array([int(((l >> np.uint64(22)) & m).sum())],
+                           type=pa.int64()),
+            "s2": pa.array([int((l >> np.uint64(44)).sum())],
+                           type=pa.int64()),
+        })
+
+    rows = labels_ds.map_batches(
+        part, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sum(
+        r["s0"] + (r["s1"] << 22) + (r["s2"] << 44) for r in rows
+    )
+
+
 def connected_components_distributed(edges_ds, max_rounds: int = 24):
     """Edge Dataset (a:int64, b:int64) -> Dataset (node, label) where label
     is the min node id of the connected component.
@@ -629,7 +656,8 @@ def connected_components_distributed(edges_ds, max_rounds: int = 24):
             batch_format="pyarrow",
         ).materialize()
         # labels only ever decrease -> equal sums == fixed point reached
-        cur_sum = labels.sum("label")
+        # (exact Python-int sum: ds.sum wraps int64 on large hash ids)
+        cur_sum = _label_sum_exact(labels)
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
