@@ -179,10 +179,31 @@ class SchemaRegistry:
     def __init__(self):
         self._specs: dict[str, dict] = {}
         self._compiled: dict[str, object] = {}
+        # per-schema-name validation counters — the reference dimensions
+        # its OTel counter by message_name (json_validation.rs:44-60).
+        # Process-local like the reference's (per actor in distributed
+        # use); snapshot with counters().
+        self._counts: dict[str, dict[str, int]] = {}
 
     def register(self, name: str, spec: dict) -> None:
         self._compiled[name] = compile_schema(spec)  # validate eagerly
         self._specs[name] = spec
+        self._counts.setdefault(name, {"valid": 0, "invalid": 0})
+
+    def validate_batch(self, name: str, texts) -> tuple[pa.Array, pa.Array]:
+        """Validate a JSON-string column against the named schema and
+        count the outcomes under that schema name (the reference's
+        per-message_name metric dimension)."""
+        valid, reason = validate_json_batch(texts, self._compiled[name])
+        c = self._counts.setdefault(name, {"valid": 0, "invalid": 0})
+        n_valid = int(valid.to_numpy(zero_copy_only=False).sum())
+        c["valid"] += n_valid
+        c["invalid"] += len(valid) - n_valid
+        return valid, reason
+
+    def counters(self) -> dict[str, dict[str, int]]:
+        """{schema_name: {valid, invalid}} snapshot."""
+        return {k: dict(v) for k, v in self._counts.items()}
 
     def register_file(self, path: str) -> str:
         with open(path) as f:

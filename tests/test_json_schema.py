@@ -134,3 +134,17 @@ def test_bad_specs_rejected():
         compile_schema({"fields": {"e": {"kind": "enum"}}})
     with pytest.raises(ValueError):
         compile_schema({})
+
+
+def test_registry_counts_validations_per_schema_name():
+    """Reference parity: the validation counter is dimensioned by schema
+    (message) name — json_validation.rs:44-60."""
+    reg = SchemaRegistry()
+    reg.register("A", {"fields": {"x": {"kind": "uint64", "required": True}}})
+    reg.register("B", {"fields": {"y": {"kind": "string"}}})
+    valid, _ = reg.validate_batch("A", ['{"x": 1}', '{"x": "no"}', None])
+    assert valid.to_pylist() == [True, False, False]
+    reg.validate_batch("B", ['{"y": "ok"}'])
+    c = reg.counters()
+    assert c["A"] == {"valid": 1, "invalid": 2}
+    assert c["B"] == {"valid": 1, "invalid": 0}
