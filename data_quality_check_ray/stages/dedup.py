@@ -201,15 +201,25 @@ def minhash_signatures(texts: pa.Array, num_perm: int = NUM_PERM) -> np.ndarray:
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if not len(sh):
         return sig
-    # hv[perm, shingle] = (a*h + b) mod mersenne — exact 128-bit-emulated
-    # modular arithmetic (see _mulmod61)
-    hv = _mod61(_mulmod61(_PERM_A[:, None], _mod61(sh)[None, :])
-                + _PERM_B[:, None])
     starts = off[:-1]
     nonempty = off[1:] > starts
-    if nonempty.any():
-        mins = np.minimum.reduceat(hv, starts[nonempty].astype(np.int64), axis=1)
-        sig[nonempty] = mins.T
+    if not nonempty.any():
+        return sig
+    ne_starts = starts[nonempty].astype(np.int64)
+    shm = _mod61(sh)[None, :]
+    # hv[perm, shingle] = (a*h + b) mod mersenne — exact 128-bit-emulated
+    # modular arithmetic (see _mulmod61).  Permutations go in CHUNKS of 16:
+    # the full (num_perm, n_shingles) matrix plus _mulmod61's ~8
+    # intermediates peaked at ~5 GB per 100k-doc block and got tasks
+    # OOM-killed at 3.2M docs; chunking bounds the working set at ~1/4 of
+    # that with identical output.
+    chunk = 16
+    for p0 in range(0, num_perm, chunk):
+        p1 = min(p0 + chunk, num_perm)
+        hv = _mod61(_mulmod61(_PERM_A[p0:p1, None], shm)
+                    + _PERM_B[p0:p1, None])
+        mins = np.minimum.reduceat(hv, ne_starts, axis=1)
+        sig[nonempty, p0:p1] = mins.T
     return sig
 
 
@@ -367,8 +377,12 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
+    # explicit batch cap: the signature stage's working set is
+    # O(batch_docs x words/doc x perm_chunk) — parquet blocks of 100k web
+    # pages would still be ~1 GB/task even with permutation chunking
     bands = ds.map_batches(
-        lambda b: band_rows(b, text_col, id_col), batch_format="pyarrow"
+        lambda b: band_rows(b, text_col, id_col), batch_format="pyarrow",
+        batch_size=4096, zero_copy_batch=True,
     )
 
     def combine_key(b: pa.Table) -> pa.Table:
