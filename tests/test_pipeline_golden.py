@@ -86,3 +86,29 @@ def test_labels_order_independent(golden, quiet_data_context):
     b = ds2.to_pandas().set_index("url").sort_index()
     assert (a["keep"] == b["keep"]).all()
     assert (a["drop_reason"] == b["drop_reason"]).all()
+
+
+def test_flagship_plan_is_shuffle_free(quiet_data_context):
+    """The keep/drop spine must stay Read -> MapBatches* with NO all-to-all
+    operator (sort/aggregate/repartition/shuffle): zero cross-node
+    exchange is the architectural basis of the node-count scaling claim
+    (BENCH/BASELINE.md) — this pins it against regressions."""
+    import ray.data as rd
+
+    from data_quality_check_ray.pipelines.quality import build_pipeline
+    from data_quality_check_ray.sources import synth
+
+    d = "/tmp/dqcr_planshape_pages"
+    synth.write_pages_parquet(d, 200, num_files=1)
+    ds = build_pipeline(rd.read_parquet(d))
+
+    names = []
+
+    def walk(op):
+        names.append(type(op).__name__)
+        for dep in op.input_dependencies:
+            walk(dep)
+
+    walk(ds._logical_plan.dag)
+    assert names[-1] == "Read"
+    assert set(names[:-1]) == {"MapBatches"}, names
