@@ -289,6 +289,85 @@ def write_minhash_reference(sf_dir: str, threshold: float = 0.8,
     return _write("minhash_dedup", tbl)
 
 
+def write_hll_reference(sf_dir: str) -> str:
+    """Row-at-a-time HyperLogLog register construction in exact Python
+    ints (the murmur-finalizer scramble, index/rank split, max-register
+    update — functions/sketches.hll_from_ints semantics) over the events
+    user_id column.  Registers must match the vectorized batch+merge path
+    exactly; the final 10-line estimator formula is shared (it has no
+    vectorization to check, and an independent float summation order
+    would differ in the last ulp)."""
+    from ..functions.sketches import HLL_P, hll_estimate
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    m = 1 << HLL_P
+    u64 = (1 << 64) - 1
+    nbits = 64 - HLL_P
+    regs = [0] * m
+    for k in ev["user_id"].to_pylist():
+        h = int(k) & u64
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & u64
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & u64
+        h ^= h >> 33
+        idx = h & (m - 1)
+        rest = h >> HLL_P
+        rank = (nbits + 1) if rest == 0 else nbits - rest.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    est = hll_estimate(np.array(regs, dtype=np.uint8))
+    tbl = pa.table({
+        "approx_distinct_users": pa.array([est], type=pa.float64()),
+    })
+    return _write("approx_distinct_users", tbl)
+
+
+def write_qhist_reference(sf_dir: str) -> str:
+    """Row-at-a-time log-histogram quantile sketch over documents.n_chars
+    (functions/sketches.qhist_* semantics): per-value binning in a scalar
+    loop (binning uses a 1-element np.log10 so the libm is bitwise the
+    engine's — the independence under test is the bincount/merge/quantile
+    machinery, not the transcendental), counts accumulated in Python,
+    quantiles via the shared closed-form bin-midpoint extraction."""
+    from ..functions.sketches import (
+        QH_BINS_PER_DECADE,
+        QH_MIN_EXP,
+        QH_SIZE,
+        _QH_N,
+        qhist_quantile,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    h = [0] * QH_SIZE
+    for v in docs["n_chars"].to_pylist():
+        if v is None:
+            continue
+        x = float(v)
+        if x != x:  # NaN
+            continue
+        if x == 0:
+            h[0] += 1
+            continue
+        if x == float("inf"):
+            h[-1] += 1
+            continue
+        b = int(np.floor(np.log10(np.array([x]))[0] * QH_BINS_PER_DECADE)) \
+            - QH_MIN_EXP * QH_BINS_PER_DECADE
+        if b < 0:
+            h[1] += 1
+        elif b >= _QH_N:
+            h[-1] += 1
+        else:
+            h[2 + b] += 1
+    arr = np.array(h, dtype=np.int64)
+    est = {f"p{int(q * 100)}": qhist_quantile(arr, q)
+           for q in (0.5, 0.9, 0.99)}
+    tbl = pa.table({k: pa.array([v], type=pa.float64())
+                    for k, v in est.items()})
+    return _write("doc_len_quantiles", tbl)
+
+
 def write_pages_reference(sf_dir: str) -> str:
     """Scalar-spec labels for the flagship pages pipeline: the row-loop
     bridge (urls/ts/html from the documents construction) + the pinned

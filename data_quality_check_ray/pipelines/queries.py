@@ -1067,10 +1067,14 @@ def q_embed_dup_pairs(sf_dir: str):
 def q_doc_len_quantiles(sf_dir: str):
     """Approximate p50/p90/p99 of document length via the mergeable
     log-histogram sketch (functions/sketches.qhist_*, ~1.8% relative
-    error) — rows-only: an approximation has no exact SQL oracle; the
-    sketch's accuracy and mergeability are unit-tested instead."""
+    error).  Approximate vs the true quantiles, but deterministic —
+    differentially oracle-checked against a scalar-loop sketch
+    (pipelines/oracle_refs.write_qhist_reference); accuracy and
+    mergeability are additionally unit-tested."""
     from ..functions.sketches import approx_quantiles
+    from .oracle_refs import write_qhist_reference
 
+    write_qhist_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     est = approx_quantiles(ds, "n_chars", qs=(0.5, 0.9, 0.99))
@@ -1101,9 +1105,14 @@ def q_curation_pipeline(sf_dir: str):
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over events — mergeable
     per-batch sketches (4 KiB partials), the shuffle-free stand-in for
-    ``unique()`` at 10^12 rows.  Approximate by design => rows-only."""
+    ``unique()`` at 10^12 rows.  Approximate vs the TRUE count, but a
+    deterministic function of the input — differentially oracle-checked
+    against an exact-Python-int register construction
+    (pipelines/oracle_refs.write_hll_reference)."""
     from ..functions.sketches import approx_distinct
+    from .oracle_refs import write_hll_reference
 
+    write_hll_reference(sf_dir)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
@@ -1951,6 +1960,16 @@ ORACLE_SQL = {
                CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
                CAST(500 + (doc_id % 97) * 300 AS DOUBLE) AS rms0
         FROM documents
+    """,
+    "approx_distinct_users": """
+        -- differential oracle: exact-Python-int HLL registers
+        SELECT approx_distinct_users
+        FROM read_parquet('/tmp/dqcr_oracle/approx_distinct_users.parquet')
+    """,
+    "doc_len_quantiles": """
+        -- differential oracle: scalar-loop log-histogram sketch
+        SELECT p50, p90, p99
+        FROM read_parquet('/tmp/dqcr_oracle/doc_len_quantiles.parquet')
     """,
     "pages_pipeline": """
         -- differential oracle: pinned scalar-spec labels for the bridged

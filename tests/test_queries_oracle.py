@@ -40,6 +40,8 @@ CHECKED = [
     "pages_pipeline",
     "simhash_dedup",
     "minhash_dedup",
+    "approx_distinct_users",
+    "doc_len_quantiles",
 ]
 
 
@@ -89,13 +91,13 @@ def test_query_matches_oracle(name, con, quiet_data_context):
             assert got[c].equals(exp[c]), c
 
 
-def test_rows_only_queries_run(quiet_data_context):
+def test_every_query_has_an_oracle():
+    """Round-3 milestone: zero rows-only queries — every registered
+    pipeline, including the model/hash/sketch ones, carries an oracle
+    (SQL over the views or a differential scalar-reference parquet)."""
     import __ray_entry__ as e
 
-    qs = e.queries()
-    for name in ("approx_distinct_users", "doc_len_quantiles"):
-        out = _to_pandas(qs[name](SF_DIR))
-        assert len(out) > 0, name
+    assert set(e.oracle_sql()) == set(e.queries())
 
 
 def test_entry_runs(quiet_data_context):
