@@ -468,21 +468,52 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
                                  threshold: float):
     """Scale path for minhash closure: no driver-side materialization.
 
-    dedupe pairs [groupby] -> attach both texts [2 bucketed hash joins] ->
+    dedupe pairs [groupby] -> candidate-id semi-join filter [broadcast] ->
+    attach both texts [2 bucketed hash joins over candidates only] ->
     exact-Jaccard verify [map_batches over candidate rows only] ->
     connected_components_distributed -> rep assignment [left hash join].
     """
+    import ray
+
     from .joins import buckets_for_bytes, cheap_size_bytes, hash_join
 
     uniq = pairs_ds.groupby(["a", "b"]).count().map_batches(
         lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()
+
+    # SEMI-JOIN the text side first: only docs appearing in >=1 candidate
+    # pair need their text attached, and that set is tiny relative to the
+    # corpus (LSH already pruned).  Without this, both attach joins
+    # shuffle the FULL text corpus through repartition+sort to keep a
+    # fraction of it — at 3.2M pages (11 GB of text) the run died of
+    # object-store pressure; with it, the joins move only candidate rows.
+    # The candidate-id array itself broadcasts via ray.put (8 bytes/doc —
+    # 1e8 candidates = 800 MB, still broadcastable; beyond that, swap the
+    # exact set for a Bloom filter and let the join drop false positives).
+    cand_parts = [
+        t for t in uniq.iter_batches(batch_size=None, batch_format="pyarrow")
+        if len(t)
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(
+            [np.concatenate([
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]) for t in cand_parts
+        ]))
+        if cand_parts else np.empty(0, dtype=np.int64)
     )
-    # the text projection feeds BOTH attach joins: materialize it once
-    # (digest+text only — Ray spills to disk past object-store capacity)
-    # rather than letting each join size-probe and re-run the projection.
-    # Its measured bytes then size both joins' buckets with no extra pass.
+    cand_ref = ray.put(pa.array(cand_ids.astype(np.int64)))
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        mask = pc.is_in(as_single_array(b[id_col]).cast(pa.int64()),
+                        value_set=wanted)
+        return b.filter(mask).select([id_col, text_col])
+
+    # materialize once: the filtered projection feeds BOTH attach joins
     texts = ds.map_batches(
-        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        keep_candidates, batch_format="pyarrow"
     ).materialize()
     text_bytes = texts.size_bytes() or 0
     pair_bytes = cheap_size_bytes(pairs_ds) or 0
