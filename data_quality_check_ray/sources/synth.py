@@ -238,11 +238,37 @@ def write_pages_parquet(
     files (one per contiguous row range → deterministic partition ids for
     the resume manifest).  Files are generated in parallel processes; each
     file is a pure function of (seed, row range), so layout is identical
-    regardless of worker count."""
+    regardless of worker count.
+
+    The skip-existing cache is guarded by a ``_MANIFEST.json`` recording
+    (n, seed, num_files): a per-file existence check alone is UNSAFE when
+    the layout changes — a dir first written with 32 files and later
+    requested with 64 keeps the 32-layout files (whose row ranges belong
+    to the OLD bounds) and adds 64-layout files on top, silently serving
+    n×1.5 rows with half the corpus duplicated (observed: the 3.2M
+    minhash scale run read 4.8M rows).  On any manifest mismatch the dir
+    is wiped and regenerated."""
+    import json
     import os
     from concurrent.futures import ProcessPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    want = {"n": int(n), "seed": int(seed), "num_files": int(num_files)}
+    have = None
+    try:
+        with open(manifest_path) as f:
+            have = json.load(f)
+    except (OSError, ValueError):
+        have = None
+    if have != want:
+        for name in os.listdir(out_dir):
+            if name.endswith((".parquet", ".tmp")) or name == "_MANIFEST.json":
+                os.unlink(os.path.join(out_dir, name))
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, manifest_path)
     bounds = np.linspace(0, n, num_files + 1, dtype=np.int64)
     jobs = []
     for k in range(num_files):

@@ -778,15 +778,22 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     if reps.count() <= broadcast_threshold:
         import ray
 
+        # broadcast the rep table as a SORTED (keys, vals) array pair:
+        # the per-batch lookup is one vectorized np.searchsorted (every
+        # simhash in `hashed` is present in `reps` by construction), not
+        # a Python dict probe per row
         rep_pdf = reps.to_pandas()
-        rep_ref = ray.put(dict(zip(rep_pdf["simhash"], rep_pdf["rep_id"])))
+        order = np.argsort(rep_pdf["simhash"].to_numpy())
+        rep_ref = ray.put((
+            rep_pdf["simhash"].to_numpy()[order],
+            rep_pdf["rep_id"].to_numpy()[order].astype(np.int64),
+        ))
 
         def assign(b: pa.Table) -> pa.Table:
-            m = ray.get(rep_ref)
+            keys, vals = ray.get(rep_ref)
             sh = b["simhash"].to_numpy(zero_copy_only=False)
             return b.append_column(
-                "rep_id",
-                pa.array(np.array([m[int(s)] for s in sh], dtype=np.int64)),
+                "rep_id", pa.array(vals[np.searchsorted(keys, sh)])
             )
 
         return hashed.map_batches(assign, batch_format="pyarrow")

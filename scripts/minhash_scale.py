@@ -74,11 +74,20 @@ ds = docs_ds(d)
 t0 = time.time()
 res = minhash_dedup(ds, pair_limit=0).materialize()
 wall = time.time() - t0
+n_dups = int(
+    res.map_batches(
+        lambda b: pa.table(
+            {"d": pa.array([int(
+                b["is_dup"].to_numpy(zero_copy_only=False).sum())])}
+        ),
+        batch_format="pyarrow",
+    ).sum("d")
+)
 out.update({
     "wall_sec": round(wall, 2),
     "docs_per_sec": round(N / wall, 1),
     "n_rows": res.count(),
-    "n_dups": int(res.to_pandas()["is_dup"].sum()) if N <= 500_000 else None,
+    "n_dups": n_dups,
 })
 print(json.dumps(out), flush=True)
 with open("/root/repo/BENCH/minhash_scale.json", "w") as f:
