@@ -27,6 +27,12 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# bench timings must measure the ENGINE: the oracle-reference writers
+# (pipelines/oracle_refs) that some query callables invoke are scalar
+# row-at-a-time spec passes for the correctness driver — skip them here
+# (bench never reads the reference parquet)
+os.environ.setdefault("DQCR_NO_ORACLE_REFS", "1")
+
 METRIC = "docs/sec end-to-end (langid+perplexity+filter+scrub)"
 
 

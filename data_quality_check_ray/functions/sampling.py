@@ -36,6 +36,11 @@ def _rate_to_threshold_256(rate: float) -> int:
     return int(round(rate * 256))
 
 
+# bucket assigned to null integer keys in fast mode (any fixed value --
+# the point is that it is independent of batch composition)
+_NULL_KEY_SENTINEL = -(1 << 62) + 987654321
+
+
 def hash_bucket_256(keys, mode: str = "fast") -> np.ndarray:
     """Row keys -> uint buckets in [0, 256).
 
@@ -53,8 +58,19 @@ def hash_bucket_256(keys, mode: str = "fast") -> np.ndarray:
             dtype=np.int64, count=len(keys),
         )
     if mode == "fast":
-        if hasattr(keys, "to_numpy"):  # arrow Array/ChunkedArray
-            arr = keys.to_numpy(zero_copy_only=False)
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            if pa.types.is_integer(keys.type):
+                # an integer column with ANY null converts to float64 via
+                # to_numpy, which would flip the WHOLE batch onto the
+                # object/str hash path — the bucket of key k must never
+                # depend on which rows share its batch (the sample is a
+                # pure per-key function).  Fill nulls with a fixed
+                # sentinel so null keys hash deterministically too.
+                arr = pc.fill_null(
+                    pc.cast(keys, pa.int64()), _NULL_KEY_SENTINEL
+                ).to_numpy(zero_copy_only=False)
+            else:
+                arr = keys.to_numpy(zero_copy_only=False)
         else:
             arr = np.asarray(keys)
         if np.issubdtype(arr.dtype, np.integer):

@@ -11,10 +11,14 @@ fixed parquet path, and the pipeline's ``oracle_sql`` entry is simply
 ``SELECT ... FROM read_parquet('<that path>')`` — so the driver's checker
 hash-compares the vectorized distributed engine against the scalar spec.
 
-The files regenerate on every query invocation (the corpora are <=5k
-docs at every test scale factor — the scalar pass is milliseconds), so
-the parquet always reflects the sf_dir of the MOST RECENT invocation;
-query-then-oracle is the assumed (and the driver's actual) order.
+A stamp file (sf_dir + source mtimes + params) caches each reference:
+the parquet regenerates only when the corpus or parameters actually
+changed, so repeated invocations (bench reps, test reruns) don't re-pay
+the scalar pass — which is seconds, not milliseconds, for the Python-int
+MinHash at sf0.1.  ``DQCR_NO_ORACLE_REFS=1`` (set by bench.py only)
+skips generation entirely.  The parquet reflects the sf_dir of the most
+recent stamped build; query-then-oracle is the assumed (and the
+driver's actual) order.
 
 Deliberately row-at-a-time; never used in the hot path.
 """
@@ -32,10 +36,54 @@ import pyarrow.parquet as pq
 ORACLE_DIR = "/tmp/dqcr_oracle"
 
 
-def _write(name: str, tbl: pa.Table) -> str:
+def _stamp(sf_dir: str, extra=()) -> str:
+    """Identity of a reference build: absolute sf_dir + (mtime_ns, size)
+    of every table file in it + the builder's parameters.  Same stamp =>
+    the scalar pass would produce the identical parquet."""
+    parts = [os.path.abspath(sf_dir)]
+    try:
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        pass
+    parts.extend(repr(e) for e in extra)
+    return "|".join(parts)
+
+
+def _cached(name: str, stamp: str) -> str | None:
+    """Existing reference path when it is already current, else None.
+
+    The scalar row-at-a-time passes are NOT milliseconds at bench scale
+    (the Python-int MinHash over sf0.1's 5k docs is seconds), and the
+    query callables invoke the writers on every call — so bench.py's
+    per-query timings would charge the scalar SPEC to the ENGINE.  Two
+    guards: a stamp file skips rebuilds for an unchanged corpus, and
+    DQCR_NO_ORACLE_REFS=1 (set by bench.py only; the correctness driver
+    never sets it) skips generation entirely — bench never reads the
+    reference parquet."""
+    path = oracle_path(name)
+    if os.environ.get("DQCR_NO_ORACLE_REFS"):
+        return path
+    try:
+        with open(path + ".stamp") as f:
+            if f.read() == stamp and os.path.exists(path):
+                return path
+    except OSError:
+        pass
+    return None
+
+
+def _write(name: str, tbl: pa.Table, stamp: str | None = None) -> str:
     os.makedirs(ORACLE_DIR, exist_ok=True)
     path = f"{ORACLE_DIR}/{name}.parquet"
     pq.write_table(tbl, path)
+    if stamp is not None:
+        tmp = path + ".stamp.tmp"
+        with open(tmp, "w") as f:
+            f.write(stamp)
+        os.replace(tmp, path + ".stamp")
     return path
 
 
@@ -47,6 +95,10 @@ def write_langid_reference(sf_dir: str) -> str:
     """Scalar-spec langid labels (langid_model.score_scalar per doc) —
     the independent path the vectorized langid_scores must match
     bit-for-bit (same float32 op order by construction of the spec)."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("langid_documents", stamp)
+    if hit:
+        return hit
     from ..functions.langid_model import score_scalar
 
     docs = pq.read_table(
@@ -64,7 +116,7 @@ def write_langid_reference(sf_dir: str) -> str:
         "lang_score": pa.array(np.array(scores, dtype=np.float32),
                                type=pa.float32()),
     })
-    return _write("langid_documents", tbl)
+    return _write("langid_documents", tbl, stamp)
 
 
 def write_curation_reference(sf_dir: str, rates: dict | None = None,
@@ -87,6 +139,11 @@ def write_curation_reference(sf_dir: str, rates: dict | None = None,
     from .curation import DEFAULT_RATES
 
     rates = rates if rates is not None else DEFAULT_RATES
+    stamp = _stamp(sf_dir, (sorted(rates.items()), min_words,
+                            max_symbol_ratio, min_stop_fraction))
+    hit = _cached("curation_pipeline", stamp)
+    if hit:
+        return hit
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
@@ -144,7 +201,7 @@ def write_curation_reference(sf_dir: str, rates: dict | None = None,
         "keep": pa.array(keeps, type=pa.bool_()),
         "drop_reason": pa.array(reasons, type=pa.string()),
     })
-    return _write("curation_pipeline", tbl)
+    return _write("curation_pipeline", tbl, stamp)
 
 
 def write_simhash_reference(sf_dir: str) -> str:
@@ -152,6 +209,10 @@ def write_simhash_reference(sf_dir: str) -> str:
     hashes, per-bit +/-1 votes, bit set iff tally > 0 — the independent
     path the vectorized bincount kernel (stages/dedup.simhash64) must
     match exactly, including the uint64 -> int64 reinterpretation."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("simhash_dedup", stamp)
+    if hit:
+        return hit
     import zlib
 
     docs = pq.read_table(
@@ -184,7 +245,7 @@ def write_simhash_reference(sf_dir: str) -> str:
         "simhash": pa.array(hashes, type=pa.int64()),
         "rep_id": pa.array([rep[s] for s in hashes], type=pa.int64()),
     })
-    return _write("simhash_dedup", tbl)
+    return _write("simhash_dedup", tbl, stamp)
 
 
 _MERSENNE = (1 << 61) - 1
@@ -214,6 +275,10 @@ def write_minhash_reference(sf_dir: str, threshold: float = 0.8,
     stages/dedup (NUM_PERM=64, NUM_BANDS=16, md5 perm seeds, FNV prime
     combine) so the distributed banded pipeline must reproduce these
     clusters exactly."""
+    stamp = _stamp(sf_dir, (threshold, cap))
+    hit = _cached("minhash_dedup", stamp)
+    if hit:
+        return hit
     import zlib
 
     from ..stages.dedup import NUM_BANDS, NUM_PERM, jaccard_scalar
@@ -286,7 +351,7 @@ def write_minhash_reference(sf_dir: str, threshold: float = 0.8,
         "is_dup": pa.array([r != d for r, d in zip(reps, ids)],
                            type=pa.bool_()),
     })
-    return _write("minhash_dedup", tbl)
+    return _write("minhash_dedup", tbl, stamp)
 
 
 def write_hll_reference(sf_dir: str) -> str:
@@ -297,6 +362,10 @@ def write_hll_reference(sf_dir: str) -> str:
     exactly; the final 10-line estimator formula is shared (it has no
     vectorization to check, and an independent float summation order
     would differ in the last ulp)."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("approx_distinct_users", stamp)
+    if hit:
+        return hit
     from ..functions.sketches import HLL_P, hll_estimate
 
     ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -320,7 +389,7 @@ def write_hll_reference(sf_dir: str) -> str:
     tbl = pa.table({
         "approx_distinct_users": pa.array([est], type=pa.float64()),
     })
-    return _write("approx_distinct_users", tbl)
+    return _write("approx_distinct_users", tbl, stamp)
 
 
 def write_qhist_reference(sf_dir: str) -> str:
@@ -330,6 +399,10 @@ def write_qhist_reference(sf_dir: str) -> str:
     engine's — the independence under test is the bincount/merge/quantile
     machinery, not the transcendental), counts accumulated in Python,
     quantiles via the shared closed-form bin-midpoint extraction."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("doc_len_quantiles", stamp)
+    if hit:
+        return hit
     from ..functions.sketches import (
         QH_BINS_PER_DECADE,
         QH_MIN_EXP,
@@ -365,7 +438,7 @@ def write_qhist_reference(sf_dir: str) -> str:
            for q in (0.5, 0.9, 0.99)}
     tbl = pa.table({k: pa.array([v], type=pa.float64())
                     for k, v in est.items()})
-    return _write("doc_len_quantiles", tbl)
+    return _write("doc_len_quantiles", tbl, stamp)
 
 
 def write_pages_reference(sf_dir: str) -> str:
@@ -375,6 +448,10 @@ def write_pages_reference(sf_dir: str) -> str:
     path the golden entry test uses, emitted as a parquet oracle so the
     driver hash-checks the whole flagship output (keep/drop/scrubbed
     text/scores) instead of rows-only."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("pages_pipeline", stamp)
+    if hit:
+        return hit
     from ..schema import PAGES_SCHEMA
     from ..sources.pages import _BASE_TS_US
     from ..sources.synth import wrap_html
@@ -410,4 +487,4 @@ def write_pages_reference(sf_dir: str) -> str:
         "drop_reason": ref["drop_reason"].cast(pa.string()),
         "text_scrubbed": ref["text_scrubbed"].cast(pa.large_string()),
     })
-    return _write("pages_pipeline", tbl)
+    return _write("pages_pipeline", tbl, stamp)

@@ -973,12 +973,28 @@ def q_ngram_jaccard_pairs(sf_dir: str):
             "jac": _round_half_away(j[keep], 3),
         })
 
-    return (
+    out = (
         pair_batches.map_batches(pair_partial, batch_format="pyarrow",
                                  batch_size=None)
         .groupby("__part")
         .map_groups(pair_combine, batch_format="pyarrow")
+        .materialize()
     )
+    # with ZERO verified pairs Ray's to_pandas() yields a no-column frame
+    # (a fully-empty Dataset loses its schema at conversion even when
+    # ds.schema() is right — verified against typed-empty union, sentinel
+    # groups and from_arrow alike), breaking downstream select("jac") and
+    # the oracle's column compare.  The result set is tiny by
+    # construction (jac>=0.8 pairs), so materializing here is the
+    # driver-consume step — and the empty case returns the typed empty
+    # as a pyarrow Table (explicitly allowed by the queries() contract).
+    if out.count() == 0:
+        return pa.table({
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "jac": pa.array([], type=pa.float64()),
+        })
+    return out
 
 
 def q_user_sessions(sf_dir: str):

@@ -552,9 +552,18 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
             batch_format="pyarrow",
         )
     labels = connected_components_distributed(edges)
+    # size the final left join from the ACTUAL id-projection bytes: the
+    # corpus probe is None here (transformed lazy input) and candidate
+    # text_bytes is an unrelated proxy (tiny when LSH pruned hard) that
+    # would undersize the buckets — the id projection is ~8 B/row, so
+    # materializing it for an exact count is cheap and the join consumes
+    # the materialized handle instead of re-running the read
+    ids_bytes = cheap_size_bytes(ids)
+    if ids_bytes is None:
+        ids = ids.materialize()
+        ids_bytes = ids.size_bytes() or 0
     joined = hash_join(ids, labels, key=id_col, right_key="node", how="left",
-                       input_bytes=(cheap_size_bytes(ds) or text_bytes)
-                       + (cheap_size_bytes(labels) or 0))
+                       input_bytes=ids_bytes + (cheap_size_bytes(labels) or 0))
 
     def assign(b: pa.Table) -> pa.Table:
         # non-candidates have a null label after the left join -> self-rep

@@ -176,9 +176,12 @@ def hash_join(left_ds, right_ds, key: str, num_buckets: int | None = None,
                 salt_id = np.zeros(len(keys), dtype=np.int64)
                 n_hot = int(is_hot.sum())
                 if n_hot:
-                    start = int(_bucket_of(
-                        np.array([keys[0] ^ len(keys)], dtype=np.int64), salt
-                    )[0])
+                    # derive the rotation start from the already-int64
+                    # `base` bucket of the first hot row (never XOR the
+                    # raw key array: a nullable int column arrives as
+                    # float64 and float ^ int raises)
+                    first_hot = int(np.argmax(is_hot))
+                    start = (int(base[first_hot]) ^ len(keys)) % salt
                     salt_id[is_hot] = (
                         start + np.arange(n_hot, dtype=np.int64)
                     ) % salt

@@ -22,8 +22,6 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
 def main():
     import glob
 
-    from data_quality_check_ray.stages import dedup as dd
-
     files = sorted(glob.glob("/dev/shm/dqcr_bench_pages_200000/*.parquet"))
     if not files:
         from data_quality_check_ray.sources import synth
@@ -37,8 +35,8 @@ def main():
 
     import data_quality_check_ray.stages.dedup as mod
 
-    src = mod.minhash_signatures
-
+    # NOTE: run() inlines the signature kernel (minhash_signatures) so the
+    # permutation chunk size can vary; keep it in sync with stages/dedup
     for chunk in (8, 16, 32, 64):
         # patch the chunk constant by re-running with a wrapper
         def run():

@@ -16,8 +16,13 @@ import os
 import sys
 import time
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 3_200_000
-N_CHECK = int(sys.argv[sys.argv.index("--check") + 1]) if "--check" in sys.argv else 0
+_args = sys.argv[1:]
+N_CHECK = 0
+if "--check" in _args:
+    _i = _args.index("--check")
+    N_CHECK = int(_args[_i + 1])
+    del _args[_i:_i + 2]
+N = int(_args[0]) if _args else 3_200_000
 
 import ray
 

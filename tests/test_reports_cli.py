@@ -107,20 +107,31 @@ def test_run_watch_mode_processes_only_new_files(tmp_path_factory):
     d = tmp_path_factory.mktemp("watch_in")
     synth.write_pages_parquet(str(d), 200, num_files=2)
     out = tmp_path_factory.mktemp("watch_out")
+    # stderr must go to a FILE: Ray logs freely and an undrained PIPE
+    # fills at 64 KiB, blocking the daemon before it prints scan 2
+    errf = open(str(tmp_path_factory.mktemp("watch_err") / "err.log"), "w")
     p = subprocess.Popen(
         [sys.executable, "-m", "data_quality_check_ray.run",
          "--input", str(d), "--output", str(out),
          "--num-cpus", "4", "--concurrency", "2",
          "--hash-groups", "4", "--watch", "1.0", "--max-scans", "2"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        stdout=subprocess.PIPE, stderr=errf, text=True,
         cwd="/root/repo",
     )
     try:
         line1 = json.loads(p.stdout.readline())
         assert line1["scan"] == 1 and line1["complete"]
         assert line1["partitions_done_now"] >= 1
-        # grow the input dir while the daemon sleeps
-        synth.write_pages_parquet(str(d), 300, num_files=3)
+        # grow the input dir while the daemon sleeps — by writing ONE new
+        # file directly (write_pages_parquet would wipe+relayout the whole
+        # dir via its _MANIFEST guard, touching every file's mtime and
+        # racing scan 2 mid-wipe)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(
+            synth.generate_table(100, seed=4242, start=10_000),
+            str(d / "part-added.parquet"),
+        )
         line2 = json.loads(p.stdout.readline())
         assert line2["scan"] == 2 and line2["complete"]
         # only the group(s) that gained the new file reprocess
@@ -130,3 +141,4 @@ def test_run_watch_mode_processes_only_new_files(tmp_path_factory):
     finally:
         if p.poll() is None:
             p.kill()
+        errf.close()
