@@ -377,12 +377,28 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    # explicit batch cap: the signature stage's working set is
-    # O(batch_docs x words/doc x perm_chunk) — parquet blocks of 100k web
-    # pages would still be ~1 GB/task even with permutation chunking
+    # the signature kernel is CPU-bound (~1k docs/s/core): a small corpus
+    # that arrives as one or two parquet blocks would serialize it on a
+    # single task while the rest of the pool idles (measured: sf0.1's
+    # 5k-doc single-file table ran the whole banding stage in 1 task,
+    # 6 s instead of <1).  Spread small inputs across the pool; the gate
+    # is metadata-only bytes, so a 100-TB input (which already has
+    # thousands of blocks) never pays a repartition here.
+    from .joins import cheap_size_bytes
+
+    sz = cheap_size_bytes(ds)
+    if sz is not None and sz < (256 << 20):
+        ds = ds.repartition(int(max(8, min(128, sz // (1 << 20) + 1))))
+
+    # explicit batch cap, sized for CACHE RESIDENCY, not just memory: the
+    # signature working set is O(batch_docs x shingles/doc x perm_chunk)
+    # and falls out of LLC past ~1k docs — measured on the 5k-doc corpus
+    # (52 shingles/doc): 3,632 docs/s at batch 512 vs 659 at 4096, a 5.5x
+    # single-core cliff.  512 docs x ~300 shingles (real web pages) x
+    # chunk 16 x 8 B ~= 20 MB/task — bounded at any corpus scale.
     bands = ds.map_batches(
         lambda b: band_rows(b, text_col, id_col), batch_format="pyarrow",
-        batch_size=4096, zero_copy_batch=True,
+        batch_size=512, zero_copy_batch=True,
     )
 
     def combine_key(b: pa.Table) -> pa.Table:
