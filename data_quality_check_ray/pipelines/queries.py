@@ -846,8 +846,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from ..functions.segments import list_to_numpy_segments, row_ids_from_offsets
     from ..functions.textstats import as_single_array
 
+    from ..stages.joins import spread_small
+
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = spread_small(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
 
     def shingles(b: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(

@@ -377,18 +377,11 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    # the signature kernel is CPU-bound (~1k docs/s/core): a small corpus
-    # that arrives as one or two parquet blocks would serialize it on a
-    # single task while the rest of the pool idles (measured: sf0.1's
-    # 5k-doc single-file table ran the whole banding stage in 1 task,
-    # 6 s instead of <1).  Spread small inputs across the pool; the gate
-    # is metadata-only bytes, so a 100-TB input (which already has
-    # thousands of blocks) never pays a repartition here.
-    from .joins import cheap_size_bytes
+    # the signature kernel is CPU-bound (~3k docs/s/core): spread a small
+    # 1-2-block corpus across the pool (see joins.spread_small)
+    from .joins import spread_small
 
-    sz = cheap_size_bytes(ds)
-    if sz is not None and sz < (256 << 20):
-        ds = ds.repartition(int(max(8, min(128, sz // (1 << 20) + 1))))
+    ds = spread_small(ds)
 
     # explicit batch cap, sized for CACHE RESIDENCY, not just memory: the
     # signature working set is O(batch_docs x shingles/doc x perm_chunk)
@@ -786,9 +779,13 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "doc_id": b[id_col], "simhash": sh,
         })
 
+    from .joins import spread_small
+
     # materialize the (doc_id, simhash) digests: ~16 bytes/doc, consumed
     # twice (rep groupby + assignment) — avoids re-hashing the corpus
-    hashed = ds.map_batches(add, batch_format="pyarrow").materialize()
+    hashed = spread_small(ds).map_batches(
+        add, batch_format="pyarrow"
+    ).materialize()
 
     # rep assignment: groupby-min, then either broadcast the rep table
     # (small corpora — one object-store put) or a bucketed hash join
