@@ -655,12 +655,16 @@ def q_asof_purchase_before_error(sf_dir: str):
     """As-of join: for each 'error' event, the user's most recent
     purchase at-or-before it (merge_asof per ts-sorted user group —
     stages/joins.asof_join_grouped)."""
-    from ..stages.joins import asof_join_grouped
+    from ..stages.joins import asof_join_grouped, cheap_size_bytes
 
     rd = _rd()
     ev = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
+    # join inputs are transformed (filtered) lazy datasets whose bytes
+    # aren't metadata-knowable; the pre-filter read's footer estimate is a
+    # safe upper bound for partition sizing
+    ev_bytes = cheap_size_bytes(ev)
     errors = ev.map_batches(
         lambda b: b.filter(pc.equal(b["event_type"], "error")).select(
             ["event_id", "user_id", "ts"]
@@ -674,7 +678,7 @@ def q_asof_purchase_before_error(sf_dir: str):
         batch_format="pyarrow",
     )
     return asof_join_grouped(errors, purchases, key="user_id", ts="ts",
-                             right_cols=["value"])
+                             right_cols=["value"], input_bytes=ev_bytes)
 
 
 def q_q3_shipping(sf_dir: str):

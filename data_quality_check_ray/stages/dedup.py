@@ -292,7 +292,7 @@ def expand_doc_pairs(doc_lists, cap: int | None = None) -> pa.Table:
 
 
 def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
-                  num_parts: int = 64):
+                  num_parts: int | None = None):
     """(key, id) rows -> Dataset of unique unordered candidate (a, b)
     pairs per key (a < b).
 
@@ -301,8 +301,15 @@ def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
     key-runs with vectorized numpy — ``num_parts`` UDF calls total instead
     of one Python accumulator per group (a 10^8-bucket corpus would
     otherwise allocate 10^8 driver-side lists inside the aggregate).
-    ``cap`` skips degenerate giant groups (the LSH bucket cap)."""
-    from .joins import _bucket_of
+    ``cap`` skips degenerate giant groups (the LSH bucket cap).
+    ``num_parts=None`` sizes partitions from input bytes when the input
+    is materialized / metadata-sized (fixed fallback 64): a fixed count
+    would grow partitions linearly with the candidate set."""
+    from .joins import _bucket_of, buckets_for_bytes, cheap_size_bytes
+
+    if num_parts is None:
+        sz = cheap_size_bytes(ds)
+        num_parts = buckets_for_bytes(sz) if sz is not None else 64
 
     def tag(b: pa.Table) -> pa.Table:
         keys = b[key_col].to_numpy(zero_copy_only=False)

@@ -286,7 +286,8 @@ def interval_tag(ds, ts_col: str, starts: np.ndarray, ends: np.ndarray,
 
 def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
                       right_cols: list[str], suffix: str = "_asof",
-                      num_parts: int = 64):
+                      num_parts: int | None = None,
+                      input_bytes: int | None = None):
     """As-of join: for each left row, the most recent right row with
     ``right.ts <= left.ts`` within the same key group.
 
@@ -294,10 +295,22 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
     into ``num_parts`` partitions (every key's rows in ONE partition),
     then a single ts-sorted ``pd.merge_asof(..., by=key)`` per partition —
     ``num_parts`` UDF calls instead of one pandas round-trip per key
-    group.  The documented partitioning assumption is that one partition
-    fits a worker (raise ``num_parts`` with data size; salt hot keys
-    otherwise).
+    group.  ``num_parts=None`` sizes partitions from input bytes
+    (~128 MiB each, same policy as ``hash_join``) so one partition always
+    fits a worker at any input scale — a FIXED count would grow partitions
+    linearly with data, the 100-TB failure mode — while a small input
+    doesn't pay a 64-way shuffle's fixed overhead.  Salt hot keys
+    upstream if one key outgrows a partition.
     """
+    if num_parts is None:
+        if input_bytes is not None:
+            num_parts = buckets_for_bytes(input_bytes)
+        else:
+            lb = cheap_size_bytes(left_ds)
+            rb = cheap_size_bytes(right_ds)
+            num_parts = (buckets_for_bytes(lb + rb)
+                         if lb is not None and rb is not None
+                         else DEFAULT_BUCKETS)
     lschema = left_ds.schema()
     rschema = right_ds.schema()
     lcols = list(lschema.names)
