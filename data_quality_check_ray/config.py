@@ -58,6 +58,12 @@ class PipelineConfig:
     # into lineage rows.  Off by default: it costs one actor round-trip
     # per batch.
     stage_metrics: bool = False
+    # EXPERIMENT (BENCH/dict_boundary.json): dictionary-encode
+    # text_effective where it crosses the pre->model object-store
+    # boundary.  Web text is near-unique per row, so the dictionary holds
+    # ~every string and the indices are pure overhead — measured, not
+    # assumed; kept as a flag so the negative result stays reproducible.
+    dict_boundary: bool = False
     # optional JSON schema config file (schema.load_schema_file): validate
     # a different pages-table variant — e.g. extra passthrough columns —
     # without a code change (the reference's upload-a-descriptor

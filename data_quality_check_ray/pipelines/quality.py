@@ -110,6 +110,16 @@ def build_pipeline(ds, cfg: PipelineConfig | None = None):
         pre_fn = pre_with_schema
     else:
         pre_fn = pre_stage
+    if getattr(cfg, "dict_boundary", False):
+        inner_plain = pre_fn
+
+        def pre_dict(batch: pa.Table) -> pa.Table:
+            out = inner_plain(batch)
+            i = out.schema.get_field_index("text_effective")
+            enc = out["text_effective"].combine_chunks().dictionary_encode()
+            return out.set_column(i, "text_effective", enc)
+
+        pre_fn = pre_dict
     if cfg.stage_metrics:
         # create the collector from the DRIVER so the driver owns it: a
         # worker-created (non-detached) actor would die with the worker

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import langid_model, lm
 
@@ -68,6 +69,13 @@ class QualityModelStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.textstats import text_stats, tokenize
 
+        if pa.types.is_dictionary(batch.schema.field("text_effective").type):
+            # cfg.dict_boundary experiment: decode ONCE at stage entry so
+            # every kernel below sees the same plain string column
+            i = batch.schema.get_field_index("text_effective")
+            typ = batch.schema.field("text_effective").type.value_type
+            dec = pc.cast(batch["text_effective"].combine_chunks(), typ)
+            batch = batch.set_column(i, "text_effective", dec)
         if self._clock is None:
             pre = tokenize(batch["text_effective"])  # ONE tokenization pass
             for name, arr in text_stats(batch["text_effective"], pre=pre).items():

@@ -88,6 +88,25 @@ def test_labels_order_independent(golden, quiet_data_context):
     assert (a["drop_reason"] == b["drop_reason"]).all()
 
 
+def test_dict_boundary_flag_labels_identical(golden, quiet_data_context):
+    """cfg.dict_boundary (the measured-negative DRAM experiment,
+    BENCH/dict_boundary.json) must stay label- and text-identical to the
+    stock boundary — the flag only changes the wire encoding."""
+    import ray.data as rd
+
+    from data_quality_check_ray.config import PipelineConfig
+
+    t = synth.generate_table(300)
+    a = build_pipeline(rd.from_arrow(t)).to_pandas().set_index("url").sort_index()
+    d = (build_pipeline(rd.from_arrow(t), PipelineConfig(dict_boundary=True))
+         .to_pandas().set_index("url").sort_index())
+    assert (d["keep"] == a["keep"]).all()
+    assert (d["drop_reason"] == a["drop_reason"]).all()
+    # null text_scrubbed (conform-dropped rows) must stay null on both
+    assert d["text_scrubbed"].fillna("\0") .eq(a["text_scrubbed"].fillna("\0")).all()
+    assert list(d.dtypes) == list(a.dtypes)
+
+
 def test_flagship_plan_is_shuffle_free(quiet_data_context):
     """The keep/drop spine must stay Read -> MapBatches* with NO all-to-all
     operator (sort/aggregate/repartition/shuffle): zero cross-node
