@@ -292,7 +292,8 @@ def expand_doc_pairs(doc_lists, cap: int | None = None) -> pa.Table:
 
 
 def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
-                  num_parts: int | None = None):
+                  num_parts: int | None = None,
+                  input_bytes: int | None = None):
     """(key, id) rows -> Dataset of unique unordered candidate (a, b)
     pairs per key (a < b).
 
@@ -302,13 +303,15 @@ def grouped_pairs(ds, key_col: str, id_col: str, cap: int | None = None,
     of one Python accumulator per group (a 10^8-bucket corpus would
     otherwise allocate 10^8 driver-side lists inside the aggregate).
     ``cap`` skips degenerate giant groups (the LSH bucket cap).
-    ``num_parts=None`` sizes partitions from input bytes when the input
-    is materialized / metadata-sized (fixed fallback 64): a fixed count
-    would grow partitions linearly with the candidate set."""
+    ``num_parts=None`` sizes partitions from input bytes — a caller-
+    supplied ``input_bytes`` estimate (derived-table callers KNOW their
+    row width: minhash bands = rows x 16 B), else metadata probing, else
+    a fixed 64: a fixed count would grow partitions linearly with the
+    candidate set at corpus scale."""
     from .joins import _bucket_of, buckets_for_bytes, cheap_size_bytes
 
     if num_parts is None:
-        sz = cheap_size_bytes(ds)
+        sz = input_bytes if input_bytes is not None else cheap_size_bytes(ds)
         num_parts = buckets_for_bytes(sz) if sz is not None else 64
 
     def tag(b: pa.Table) -> pa.Table:
@@ -386,7 +389,14 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # the signature kernel is CPU-bound (~3k docs/s/core): spread a small
     # 1-2-block corpus across the pool (see joins.spread_small)
-    from .joins import spread_small
+    from .joins import cheap_num_rows, spread_small
+
+    # band-table size is a KNOWN function of corpus rows (NUM_BANDS
+    # (bucket, doc_id) int64 rows per doc) — grab the row count from read
+    # metadata BEFORE transforms hide it, so the pair-expansion shuffle
+    # width scales with the corpus instead of the fixed-64 fallback
+    n_rows = cheap_num_rows(ds)
+    bands_bytes = n_rows * NUM_BANDS * 16 if n_rows is not None else None
 
     ds = spread_small(ds)
 
@@ -415,6 +425,7 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs_ds = grouped_pairs(
         bands.map_batches(combine_key, batch_format="pyarrow"),
         key_col="bucket", id_col="doc_id", cap=200,
+        input_bytes=bands_bytes,
     ).materialize()
 
     if pairs_ds.count() > pair_limit:

@@ -65,6 +65,20 @@ def cheap_size_bytes(ds) -> int | None:
         return None
 
 
+def cheap_num_rows(ds) -> int | None:
+    """Row count WITHOUT executing the Dataset, or None.
+
+    Metadata-known for raw parquet reads (footer row counts, exact) and
+    materialized handles; transformed lazy datasets return None.  Used to
+    size downstream derived-table shuffles (e.g. minhash band rows =
+    rows x NUM_BANDS) from facts the read already has."""
+    try:
+        n = ds._logical_plan.dag.infer_metadata().num_rows
+        return int(n) if n is not None else None
+    except Exception:
+        return None
+
+
 def spread_small(ds, max_bytes: int = 256 << 20, per_block: int = 1 << 20):
     """Repartition a SMALL input so CPU-bound per-batch kernels can use
     the whole pool: a corpus that arrives as 1-2 parquet blocks runs its
