@@ -66,8 +66,11 @@ def hash_bucket_256(keys, mode: str = "fast") -> np.ndarray:
                 # depend on which rows share its batch (the sample is a
                 # pure per-key function).  Fill nulls with a fixed
                 # sentinel so null keys hash deterministically too.
+                # safe=False: uint64 keys above 2^63 wrap deterministically
+                # (a wrapped int is a perfectly good hash input; a safe
+                # cast would RAISE on them instead)
                 arr = pc.fill_null(
-                    pc.cast(keys, pa.int64()), _NULL_KEY_SENTINEL
+                    pc.cast(keys, pa.int64(), safe=False), _NULL_KEY_SENTINEL
                 ).to_numpy(zero_copy_only=False)
             else:
                 arr = keys.to_numpy(zero_copy_only=False)

@@ -69,3 +69,36 @@ def row_ids_from_offsets(offsets: np.ndarray) -> np.ndarray:
     """Flattened-value index -> owning row id."""
     counts = np.diff(offsets)
     return np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+
+
+def pair_unique(x: np.ndarray, y: np.ndarray, return_counts: bool = False):
+    """Exact unique of (x, y) int64 pairs, lexicographic order, optionally
+    with multiplicities.
+
+    Packs the pair into ONE int64 key (x * base + y) when the ranges
+    provably fit — the guard runs in PYTHON ints, because an int64
+    overflow in the pack would silently wrap and corrupt results while
+    looking plausible (the bug class fixed in q_bigram_counts) — and
+    falls back to an exact 2-column ``np.unique(..., axis=0)`` otherwise.
+    One shared implementation so the overflow guard lives in one place
+    (previously three divergent copies: shingle distinct, pair_partial,
+    bigram counts)."""
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    y = np.ascontiguousarray(y, dtype=np.int64)
+    if len(x) == 0:
+        e = np.array([], dtype=np.int64)
+        return (e, e, e.copy()) if return_counts else (e, e)
+    xmax, ymin = int(x.max()), int(y.min())
+    base_py = int(y.max()) + 1
+    if x.min() >= 0 and ymin >= 0 and xmax * base_py + base_py - 1 < (1 << 63):
+        base = np.int64(base_py)
+        if return_counts:
+            pk, counts = np.unique(x * base + y, return_counts=True)
+            return pk // base, pk % base, counts.astype(np.int64)
+        pk = np.unique(x * base + y)
+        return pk // base, pk % base
+    up, counts = np.unique(np.stack([x, y], axis=1), axis=0,
+                           return_counts=True)
+    if return_counts:
+        return up[:, 0], up[:, 1], counts.astype(np.int64)
+    return up[:, 0], up[:, 1]

@@ -78,7 +78,11 @@ def _cached(name: str, stamp: str) -> str | None:
 def _write(name: str, tbl: pa.Table, stamp: str | None = None) -> str:
     os.makedirs(ORACLE_DIR, exist_ok=True)
     path = f"{ORACLE_DIR}/{name}.parquet"
-    pq.write_table(tbl, path)
+    # atomic like the stamp: a concurrent reader (parallel pytest worker /
+    # driver gate) must never see a torn half-written parquet
+    ptmp = path + ".tmp"
+    pq.write_table(tbl, ptmp)
+    os.replace(ptmp, path)
     if stamp is not None:
         tmp = path + ".stamp.tmp"
         with open(tmp, "w") as f:
@@ -154,9 +158,14 @@ def write_curation_reference(sf_dir: str, rates: dict | None = None,
         for t in docs["text"].to_pylist()
     ]
 
-    rep: dict[str, int] = {}
+    # null text is its OWN exact-dup group, distinct from "" — the engine
+    # digests missing values with a dedicated missing-value hash
+    # (stages/dedup.content_hash128), so all nulls share one rep but never
+    # merge with empty strings
+    _NULL_KEY = object()
+    rep: dict[object, int] = {}
     for did, t in zip(ids, texts):
-        key = t if t is not None else ""
+        key = t if t is not None else _NULL_KEY
         if key not in rep or did < rep[key]:
             rep[key] = did
 
@@ -168,6 +177,7 @@ def write_curation_reference(sf_dir: str, rates: dict | None = None,
 
     keeps, reasons = [], []
     for i, (did, lang, t) in enumerate(zip(ids, langs, texts)):
+        rep_key = t if t is not None else _NULL_KEY
         t = t if t is not None else ""
         words = t.split()
         n_words = len(words)
@@ -180,7 +190,7 @@ def write_curation_reference(sf_dir: str, rates: dict | None = None,
         sampled = int(buckets[i]) < _rate_to_threshold_256(
             rates.get(lang, 0.0)
         )
-        if rep[t] != did:
+        if rep[rep_key] != did:
             reason = "dup:exact"
         elif n_words < min_words:
             reason = "rule:too_short"

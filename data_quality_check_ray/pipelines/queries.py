@@ -847,7 +847,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     jaccard against broadcast set sizes.  At 10^12 docs the pair expansion
     must be prefiltered by MinHash-LSH buckets (stages/dedup.minhash_dedup)
     — here it is exact so the DuckDB oracle can verify it."""
-    from ..functions.segments import list_to_numpy_segments, row_ids_from_offsets
+    from ..functions.segments import (list_to_numpy_segments, pair_unique,
+                                      row_ids_from_offsets)
     from ..functions.textstats import as_single_array
 
     from ..stages.joins import spread_small
@@ -877,18 +878,13 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         valid = row_ids[:-2] == row_ids[2:]
         docs = b["doc_id"].to_numpy(zero_copy_only=False)[row_ids[:-2][valid]]
         sh = sh.filter(pa.array(valid))
-        # distinct (doc, shingle) within the batch via packed sort on codes
+        # distinct (doc, shingle) within the batch via the shared packed
+        # pair-unique kernel (functions/segments.pair_unique — overflow
+        # guard in one place)
         dct = as_single_array(sh).dictionary_encode()
         codes = np.asarray(dct.indices, dtype=np.int64)
-        base = np.int64(codes.max() + 1) if len(codes) else np.int64(1)
-        if len(docs) and int(docs.max()) < (1 << 62) // int(base):
-            comb = np.unique(docs * base + codes)
-            sh_out = pc.take(dct.dictionary, pa.array(comb % base))
-            doc_out = comb // base
-        else:  # packing would overflow int64: exact 2-column unique
-            pairs_arr = np.unique(np.stack([docs, codes], axis=1), axis=0)
-            sh_out = pc.take(dct.dictionary, pa.array(pairs_arr[:, 1]))
-            doc_out = pairs_arr[:, 0]
+        doc_out, code_out = pair_unique(docs, codes)
+        sh_out = pc.take(dct.dictionary, pa.array(code_out))
         return pa.table({"sh": sh_out, "doc_id": doc_out})
 
     def hash_shingles(b: pa.Table) -> pa.Table:
@@ -916,9 +912,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     # path is MinHash-LSH prefiltering, stages/dedup.minhash_dedup); this
     # broadcast is sized to the corpora the oracle-checkable exact mode
     # actually runs on.
+    _size_schema = pa.schema([("doc_id", pa.int64()), ("count()", pa.int64())])
     sizes_tbl = pa.concat_tables(
-        sh_rows.groupby("doc_id").count()
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        # the explicit empty seed keeps concat_tables total when the corpus
+        # yields ZERO (shingle, doc) rows (every doc under 3 words):
+        # iter_batches then yields no batches at all
+        [_size_schema.empty_table()]
+        + [b.cast(_size_schema) for b in sh_rows.groupby("doc_id").count()
+           .iter_batches(batch_size=None, batch_format="pyarrow")]
     )
     sizes_ref = _bcast_pairs(sizes_tbl["doc_id"], sizes_tbl["count()"])
 
@@ -937,9 +938,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     # occurrence of a pair lands in one partition, so each partition's
     # group-sum is globally exact and the Jaccard computes right there
     # against the broadcast sizes.  Nothing streams through the driver.
-    from ..stages.joins import _bucket_of
+    from ..stages.joins import _bucket_of, buckets_for_bytes
 
-    n_parts = 32
+    # pair volume grows superlinearly with shingle co-occurrence, so a
+    # fixed partition count would be the usual 100-TB failure mode;
+    # sh_rows is materialized above, so its exact bytes are free.  The
+    # x4 headroom reflects pairs-per-shingle-row expansion observed at
+    # sf0.1 (bounded well below x4 after the per-block partials).
+    n_parts = buckets_for_bytes(4 * (sh_rows.size_bytes() or 0))
 
     def pair_partial(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -949,14 +955,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                              "b": pa.array([], type=pa.int64()),
                              "c": pa.array([], type=pa.int64()),
                              "__part": pa.array([], type=pa.int64())})
-        if a.max() < (1 << 31) and b.max() < (1 << 31):
-            pk, counts = np.unique(a * (1 << 31) + b, return_counts=True)
-            ua, ub = pk >> 31, pk & ((1 << 31) - 1)
-        else:  # ids beyond 2^31: exact 2-column unique (no silent wrap)
-            up, counts = np.unique(np.stack([a, b], axis=1), axis=0,
-                                   return_counts=True)
-            ua, ub = up[:, 0], up[:, 1]
-        return pa.table({"a": ua, "b": ub, "c": counts.astype(np.int64),
+        ua, ub, counts = pair_unique(a, b, return_counts=True)
+        return pa.table({"a": ua, "b": ub, "c": counts,
                          "__part": _bucket_of(ua, n_parts)})
 
     def pair_combine(t: pa.Table) -> pa.Table:
@@ -1234,7 +1234,7 @@ def q_bigram_counts(sf_dir: str):
     slots).  Fully vectorized: one tokenize pass, dictionary codes packed
     into an int64 pair key, np.unique partials per block, one combine.
     Normalization matches the LM: lower + strip '.,!?;:'."""
-    from ..functions.segments import row_ids_from_offsets
+    from ..functions.segments import pair_unique, row_ids_from_offsets
     from ..functions.textstats import tokenize
 
     rd = _rd()
@@ -1254,18 +1254,9 @@ def q_bigram_counts(sf_dir: str):
         row_ids = row_ids_from_offsets(woff)
         same = row_ids[:-1] == row_ids[1:]
         c1, c2 = codes[:-1][same], codes[1:][same]
-        # guard in PYTHON ints (same rationale as textstats._dup2gram_
-        # fraction): base*base past ~2^31 codes silently wraps in int64
-        # and would corrupt counts while looking plausible
-        base_py = int(codes.max()) + 1
-        if base_py * base_py < (1 << 62):  # packed fast path fits int64
-            base = np.int64(base_py)
-            packed, counts = np.unique(c1 * base + c2, return_counts=True)
-            i1, i2 = packed // base, packed % base
-        else:  # pathological per-batch vocabulary: exact 2-column unique
-            up, counts = np.unique(np.stack([c1, c2], axis=1), axis=0,
-                                   return_counts=True)
-            i1, i2 = up[:, 0], up[:, 1]
+        # shared packed pair-unique kernel — Python-int overflow guard
+        # with exact 2-column fallback lives in functions/segments
+        i1, i2, counts = pair_unique(c1, c2, return_counts=True)
         w = dct.dictionary
         s1 = pc.take(w, pa.array(i1))
         s2 = pc.take(w, pa.array(i2))

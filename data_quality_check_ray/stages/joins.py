@@ -373,47 +373,51 @@ def asof_join_grouped(left_ds, right_ds, key: str, ts: str,
 
     ts_r = ts + suffix
 
-    # ONE fixed output schema for every partition: merge_asof promotes
-    # integer right columns to float64 only in partitions that have
-    # unmatched rows, so on skewed data fully-matched partitions would
-    # keep int64 and block schemas would diverge (failing downstream
-    # concat/write).  Promote right integer columns unconditionally
-    # (merge_asof's own unmatched-row promotion) and — critically —
-    # convert the pandas result back to ARROW against this schema inside
-    # the UDF: Ray's pandas->arrow block conversion degrades all-NaT /
-    # all-NaN columns (a partition whose right side is empty) to the null
-    # type, which this explicit-schema conversion prevents.
+    # ONE fixed output schema for every partition, at the ORIGINAL right
+    # dtypes: the pandas merge only ever sees (key, ts, row-index)
+    # triples — value columns are gathered back from the Arrow partition
+    # by index afterwards, so unmatched rows become typed NULLS instead
+    # of merge_asof's float64 promotion (which silently rounds int64
+    # values >= 2^53) and block schemas can never diverge across
+    # partitions on skewed data.
     out_schema = pa.schema(
-        [(c, types[c]) for c in lcols]
-        + [(c, pa.float64() if pa.types.is_integer(types[c]) else types[c])
-           for c in r_out]
+        [(c, types[c]) for c in lcols] + [(c, types[c]) for c in r_out]
     )
 
     def merge(g: pa.Table) -> pa.Table:
         # one call per PARTITION: merge_asof(by=key) handles every key in
         # the partition in a single pass over the ts-sorted frames.
-        # filter sides in ARROW first: after the split each side's own
-        # columns are null-free, so int64 ids stay int64 through to_pandas
         is_l = g["__side"]
-        l = g.filter(is_l).select(lcols).to_pandas().sort_values(
-            ts, kind="mergesort"
-        )
-        r = g.filter(pc.invert(is_l)).select([key] + r_out).to_pandas()
-        r = r.rename(columns={key: "__rkey"}).sort_values(ts_r, kind="mergesort")
-        if l.empty or r.empty:
-            # null-pad (possibly zero) left rows; the l.empty case goes
-            # through the SAME typed construction so every partition emits
-            # one schema
-            out = l.copy()
-            for c in r_out:
-                out[c] = pd.Series([None] * len(out), index=out.index,
-                                   dtype=object)
+        lt = g.filter(is_l).select(lcols).combine_chunks()
+        rt = g.filter(pc.invert(is_l)).select([key] + r_out).combine_chunks()
+        if len(lt) == 0:
+            return out_schema.empty_table()
+        l_pd = pa.table({
+            key: lt[key], ts: lt[ts],
+            "__lidx": pa.array(np.arange(len(lt), dtype=np.int64)),
+        }).to_pandas().sort_values(ts, kind="mergesort")
+        if len(rt) == 0:
+            ridx = np.full(len(lt), -1, dtype=np.int64)
+            l_order = l_pd["__lidx"].to_numpy()
         else:
-            out = pd.merge_asof(
-                l, r, left_on=ts, right_on=ts_r, left_by=key,
-                right_by="__rkey"
-            ).drop(columns=["__rkey"])
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+            r_pd = pa.table({
+                "__rkey": rt[key], ts_r: rt[ts_r],
+                "__ridx": pa.array(np.arange(len(rt), dtype=np.int64)),
+            }).to_pandas().sort_values(ts_r, kind="mergesort")
+            merged = pd.merge_asof(
+                l_pd, r_pd, left_on=ts, right_on=ts_r, left_by=key,
+                right_by="__rkey",
+            )
+            l_order = merged["__lidx"].to_numpy()
+            rv = merged["__ridx"].to_numpy()
+            ridx = np.where(np.isnan(rv), -1, rv).astype(np.int64)
+        null_mask = ridx < 0
+        take_r = pa.array(np.where(null_mask, 0, ridx), mask=null_mask)
+        # the union carries right values under their SUFFIXED output names
+        # (tag() maps them there), so gather directly by output column
+        cols = {c: lt[c].take(pa.array(l_order)) for c in lcols}
+        for c in r_out:
+            cols[c] = rt[c].take(take_r)
+        return pa.table(cols).cast(out_schema)
 
     return both.groupby("__part").map_groups(merge, batch_format="pyarrow")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from data_quality_check_ray.functions.sketches import (
@@ -298,12 +299,15 @@ def test_qhist_nulls_and_inf():
     assert hi[-1] == 1  # overflow bucket
 
 
-def test_asof_promotes_int_right_cols_uniformly(quiet_data_context):
-    """Every partition must emit the same schema: integer right value
-    columns are promoted to float64 even in partitions where ALL left rows
-    match (merge_asof would keep int64 there) or where a side is empty."""
+def test_asof_right_int_cols_stay_int64_with_nulls(quiet_data_context):
+    """Every partition must emit the SAME schema, and integer right value
+    columns keep their exact int64 type (unmatched rows are typed NULLS,
+    never merge_asof's float64 promotion, which silently rounds values
+    >= 2^53) — including partitions where all left rows match and
+    partitions whose right side is empty."""
     import ray.data as rd
 
+    big = (1 << 53) + 987654321  # not representable in float64
     # user 1: full match (right rows precede all left rows)
     # user 2: left rows but NO right rows at all (other-partition user)
     left = pa.table({
@@ -313,7 +317,7 @@ def test_asof_promotes_int_right_cols_uniformly(quiet_data_context):
     right = pa.table({
         "k": [1, 1],
         "ts": np.array([5, 15], dtype="datetime64[us]"),
-        "v": pa.array([100, 200], type=pa.int64()),
+        "v": pa.array([big, big + 1], type=pa.int64()),
     })
     out = asof_join_grouped(
         rd.from_arrow(left), rd.from_arrow(right), key="k", ts="ts",
@@ -322,10 +326,12 @@ def test_asof_promotes_int_right_cols_uniformly(quiet_data_context):
     t = pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
-    assert t.schema.field("v_asof").type == pa.float64()
-    df = t.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
-    assert df["v_asof"].tolist()[:2] == [100.0, 200.0]
-    assert df["v_asof"].isna().tolist()[2:] == [True, True]
+    assert t.schema.field("v_asof").type == pa.int64()
+    t = t.combine_chunks()
+    order = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                          ("ts", "ascending")])
+    vs = t["v_asof"].take(order)
+    assert vs.to_pylist() == [big, big + 1, None, None]  # exact int64
 
 
 def test_bucket_sizing_never_materializes_join_inputs(

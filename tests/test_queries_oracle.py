@@ -106,3 +106,27 @@ def test_entry_runs(quiet_data_context):
     out = _to_pandas(e.entry())
     assert len(out) == 500
     assert {"url", "keep", "drop_reason", "text_scrubbed"} <= set(out.columns)
+
+
+def test_ngram_jaccard_on_shingle_free_corpus(tmp_path, quiet_data_context):
+    """A corpus where every doc has under 3 words yields ZERO (shingle,
+    doc) rows; the sizes aggregation then produces no batches at all —
+    the query must return the typed empty pair table, not crash in
+    pa.concat_tables (round-3 review regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_check_ray.pipelines.queries import q_ngram_jaccard_pairs
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["one two", "", None], type=pa.string()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = _to_pandas(q_ngram_jaccard_pairs(str(d)))
+    assert len(out) == 0
+    assert list(out.columns) == ["a", "b", "jac"]

@@ -52,3 +52,28 @@ def test_segment_sums_match_python_loop(counts):
     xi = rng.randint(0, 100, int(off[-1]))
     expect_i = [int(xi[off[i]: off[i + 1]].sum()) for i in range(len(counts))]
     assert segment_sum_exact(xi, off).tolist() == expect_i
+
+
+def test_pair_unique_matches_two_column_unique():
+    import numpy as np
+
+    from data_quality_check_ray.functions.segments import pair_unique
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 50, 500)
+    y = rng.integers(0, 30, 500)
+    ux, uy, c = pair_unique(x, y, return_counts=True)
+    up, uc = np.unique(np.stack([x, y], axis=1), axis=0, return_counts=True)
+    assert (ux == up[:, 0]).all() and (uy == up[:, 1]).all()
+    assert (c == uc).all()
+    # packed fast path must be refused when the pack would overflow int64
+    big = np.array([(1 << 62), 5], dtype=np.int64)
+    bx, by, bc = pair_unique(big, np.array([7, 9]), return_counts=True)
+    assert sorted(zip(bx.tolist(), by.tolist())) == [(5, 9), ((1 << 62), 7)]
+    assert bc.tolist() == [1, 1]
+    # negatives force the exact path too (pack needs non-negative domains)
+    nx, ny = pair_unique(np.array([-3, -3, 2]), np.array([1, 1, 4]))
+    assert list(zip(nx.tolist(), ny.tolist())) == [(-3, 1), (2, 4)]
+    # empty in, typed empty out
+    ex, ey = pair_unique(np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert len(ex) == 0 and len(ey) == 0
