@@ -209,6 +209,39 @@ def q_dedup_exact(sf_dir: str):
     return hashed.groupby("fp").aggregate(_agg_min("doc_id", "keep_id"))
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Cross-run exact dedup (stages/dedup.dedup_against_prior): docs with
+    doc_id % 3 == 0 play the ALREADY-INGESTED corpus (its persistable
+    128-bit digest table, stages/dedup.content_digests); the rest are the
+    new batch.  Result: new doc ids that match no prior content and are
+    the min-id representative among identical new docs.  Exercises the
+    distributed anti-join path (the prior side is a transformed lazy
+    dataset, so the broadcast switch's metadata probe stays None)."""
+    from ..stages.dedup import content_digests, dedup_against_prior
+    from ..stages.joins import cheap_num_rows
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # digest tables are 24 B/row; the parquet footer knows the corpus rows,
+    # so the anti-join's bucket count needs no materialization probe
+    n = cheap_num_rows(ds)
+    digest_bytes = n * 24 if n is not None else None
+
+    def split(keep_prior: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 3 == 0)
+            return b.filter(m if keep_prior else pc.invert(m))
+        return f
+
+    prior = content_digests(
+        ds.map_batches(split(True), batch_format="pyarrow"), "text"
+    )
+    new = ds.map_batches(split(False), batch_format="pyarrow")
+    return dedup_against_prior(new, prior, text_col="text", id_col="doc_id",
+                               input_bytes=digest_bytes)
+
+
 def q_fingerprint(sf_dir: str):
     """Normalized md5 document fingerprint per doc."""
     from ..stages.dedup import add_fingerprint
@@ -1615,6 +1648,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "field_check_en": q_field_check_en,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1680,6 +1714,18 @@ ORACLE_SQL = {
     "dedup_exact": """
         SELECT md5(text) AS fp, min(doc_id) AS keep_id
         FROM documents GROUP BY text
+    """,
+    "dedup_incremental": """
+        -- null text matches null text (IS NOT DISTINCT FROM), mirroring
+        -- the engine's fixed missing-value digest
+        WITH prior AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+             new AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+        SELECT min(n.doc_id) AS doc_id
+        FROM new n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM prior p WHERE p.text IS NOT DISTINCT FROM n.text
+        )
+        GROUP BY n.text
     """,
     "fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp

@@ -105,6 +105,142 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# incremental (cross-run) dedup
+# ---------------------------------------------------------------------------
+
+
+def content_digests(ds, text_col: str = "text", id_col: str | None = None):
+    """-> Dataset(fp_lo, fp_hi[, id_col]) — the persistable 128-bit digest
+    table of a corpus (~16-24 bytes/doc).
+
+    A growing-corpus pipeline writes this once per ingested partition
+    (``ds.write_parquet``); the next run's ``dedup_against_prior`` reads
+    it back instead of re-hashing petabytes of already-ingested text."""
+
+    def h(b: pa.Table) -> pa.Table:
+        lo, hi = content_hash128(b[text_col])
+        cols = {"fp_lo": pa.array(lo), "fp_hi": pa.array(hi)}
+        if id_col is not None:
+            cols[id_col] = b[id_col]
+        return pa.table(cols)
+
+    return ds.map_batches(h, batch_format="pyarrow")
+
+
+# broadcast-vs-shuffle switch for the prior digest table: 128 MiB of
+# digests ~ 8M prior docs pinned once per node via ray.put
+PRIOR_BROADCAST_BYTES = 128 << 20
+
+
+def dedup_against_prior(new_ds, prior_digests, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        broadcast_limit: int = PRIOR_BROADCAST_BYTES,
+                        input_bytes: int | None = None):
+    """Cross-run exact dedup: ids of new docs that are (a) not
+    content-identical to ANY prior-corpus doc and (b) the min-id
+    representative among content-identical new docs.  -> Dataset(id_col).
+
+    ``prior_digests``: a ``content_digests`` Dataset (e.g. read back from
+    the previous run's digest parquet).  Null text digests to the fixed
+    missing-value hash on both sides, so null matches null (SQL
+    ``IS NOT DISTINCT FROM`` semantics).
+
+    Two scale paths, switched on the prior table's metadata-known bytes —
+    each pays exactly ONE shuffle:
+
+      * small prior (<= ``broadcast_limit``): digest arrays sorted once on
+        the driver and ``ray.put`` ONCE; every batch membership-tests via
+        ``searchsorted`` bounds on fp_lo + fp_hi verification inside the
+        bounds (the prior side never shuffles), then one (digest, id)
+        groupby over the SURVIVORS picks the within-run min-id reps;
+      * large / unknown-size prior: ONE bucketed hash LEFT join on fp_lo
+        (digest-only shuffle, ~24 B/doc each side) whose ``bucket_reduce``
+        applies BOTH halves inside each reducer — fp_hi-verified anti-join
+        against prior plus min-id-per-digest over the new side — exact
+        because a bucket owns every joined row of its fp_lo keys, so no
+        separate aggregate shuffle exists (measured: the pre-join groupby
+        this replaces was 3.5 s of the 6.2 s sf0.1 wall).
+
+    ``input_bytes``: total digest bytes of both sides (~24 B x rows) when
+    the caller knows corpus row counts from read metadata — sizes the
+    join's buckets without the materialize fallback.
+    """
+    import ray
+
+    from .joins import cheap_size_bytes, hash_join
+
+    new_d = content_digests(new_ds, text_col, id_col)
+
+    sz = cheap_size_bytes(prior_digests)
+    if sz is not None and sz <= broadcast_limit:
+        pt = pa.concat_tables(
+            prior_digests.iter_batches(batch_size=None, batch_format="pyarrow")
+        ) if hasattr(prior_digests, "iter_batches") else prior_digests
+        lo = pt["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = pt["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hi, lo))
+        ref = ray.put((lo[order], hi[order]))
+
+        def keep_new(b: pa.Table) -> pa.Table:
+            slo, shi = ray.get(ref)
+            blo = b["fp_lo"].to_numpy(zero_copy_only=False)
+            bhi = b["fp_hi"].to_numpy(zero_copy_only=False)
+            left = np.searchsorted(slo, blo, side="left")
+            right = np.searchsorted(slo, blo, side="right")
+            hit = np.zeros(len(blo), dtype=bool)
+            width = right - left
+            # overwhelmingly width<=1: vectorized single-probe check
+            one = width == 1
+            hit[one] = shi[left[one]] == bhi[one]
+            for i in np.nonzero(width > 1)[0]:  # fp_lo collisions: rare
+                hit[i] = bool(
+                    np.any(shi[left[i]:right[i]] == bhi[i])
+                )
+            return b.filter(pa.array(~hit))
+
+        survivors = new_d.map_batches(keep_new, batch_format="pyarrow")
+        return (survivors.groupby(["fp_lo", "fp_hi"]).min(id_col)
+                .map_batches(
+                    lambda b: b.rename_columns(["fp_lo", "fp_hi", id_col])
+                    .select([id_col]),
+                    batch_format="pyarrow"))
+
+    marked = prior_digests.map_batches(
+        lambda b: pa.table({
+            "fp_lo": b["fp_lo"], "fp_hi_p": b["fp_hi"],
+            "__hit": pa.array(np.ones(len(b), dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def anti_and_reps(t: pa.Table) -> pa.Table:
+        hit = pc.coalesce(
+            pc.and_kleene(pc.equal(t["fp_hi"], t["fp_hi_p"]),
+                          pc.equal(t["__hit"], 1)),
+            pa.scalar(False),
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # one lexsort: group joined rows by digest with ids ascending, so
+        # the first row of each run is the min-id candidate and a
+        # reduceat-OR over the run tells whether ANY prior digest matched
+        order = np.lexsort((ids, hi, lo))
+        lo, hi, ids, hit = lo[order], hi[order], ids[order], hit[order]
+        starts = np.flatnonzero(
+            np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        )
+        any_hit = np.bitwise_or.reduceat(hit, starts) if len(hit) else hit
+        keep = ids[starts][~any_hit]
+        return pa.table({id_col: pa.array(np.sort(keep), type=pa.int64())})
+
+    if input_bytes is None and sz is not None:
+        input_bytes = sz * 2
+    return hash_join(new_d, marked, key="fp_lo", how="left",
+                     input_bytes=input_bytes, bucket_reduce=anti_and_reps)
+
+
+# ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
 

@@ -186,3 +186,66 @@ def test_distributed_cc_long_chain_converges(quiet_data_context):
     )
     assert len(out) == n
     assert (out["label"] == 1000).all()
+
+
+def test_dedup_against_prior_paths_agree_incl_nulls(quiet_data_context, tmp_path):
+    """Cross-run dedup: broadcast (small prior, searchsorted membership)
+    and distributed (bucketed anti-join) paths return the same kept ids;
+    null text matches null text on both (IS NOT DISTINCT FROM)."""
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.dedup import (
+        content_digests,
+        dedup_against_prior,
+    )
+
+    prior_t = pa.table({
+        "doc_id": pa.array([0, 3, 6], type=pa.int64()),
+        "text": pa.array(["seen before", None, "also seen"], type=pa.string()),
+    })
+    new_t = pa.table({
+        "doc_id": pa.array([1, 2, 4, 5, 7, 8], type=pa.int64()),
+        "text": pa.array(
+            ["seen before",    # dup of prior
+             "brand new",      # kept
+             None,             # null: dup of prior null
+             "brand new",      # within-new dup of 2
+             "also seen",      # dup of prior
+             ""],              # empty != null: kept
+            type=pa.string(),
+        ),
+    })
+    expected = [2, 8]
+
+    # distributed path: lazy prior (metadata probe -> None)
+    prior_lazy = content_digests(
+        rd.from_arrow(prior_t).map_batches(lambda b: b, batch_format="pyarrow"),
+        "text",
+    )
+    got_dist = sorted(
+        dedup_against_prior(rd.from_arrow(new_t), prior_lazy)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert got_dist == expected
+
+    # broadcast path: digests written + read back as parquet (the real
+    # cross-run flow), metadata-sized under the broadcast limit
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "digests"
+    d.mkdir()
+    pq.write_table(
+        pa.concat_tables(
+            content_digests(rd.from_arrow(prior_t), "text")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ),
+        str(d / "part0.parquet"),
+    )
+    prior_rd = rd.read_parquet(str(d))
+    from data_quality_check_ray.stages.joins import cheap_size_bytes
+    assert cheap_size_bytes(prior_rd) is not None  # really the broadcast path
+    got_bc = sorted(
+        dedup_against_prior(rd.from_arrow(new_t), prior_rd)
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert got_bc == expected

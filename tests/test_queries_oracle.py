@@ -15,6 +15,7 @@ CHECKED = [
     "token_counts",
     "field_check_en",
     "dedup_exact",
+    "dedup_incremental",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
