@@ -242,6 +242,39 @@ def q_dedup_incremental(sf_dir: str):
                                input_bytes=digest_bytes)
 
 
+def q_boilerplate_lines(sf_dir: str):
+    """C4-style boilerplate line removal (stages/boilerplate): drop lines
+    whose corpus-wide occurrence count >= 3, reassemble docs.  The corpus
+    has single-line texts, so the query derives a deterministic
+    multi-line doc per row — a shared nav header (boiler in every doc), the
+    body, and one of five rotating footers (each appears n/5 times) — the
+    SAME derivation the SQL oracle applies."""
+    from ..functions.textstats import as_single_array
+    from ..stages.boilerplate import remove_boilerplate_lines
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        footer = pc.binary_join_element_wise(
+            pa.scalar("footer id ", pa.large_string()),
+            pc.cast(pa.array(ids % 5), pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        text = pc.binary_join_element_wise(
+            pa.scalar("nav menu home", pa.large_string()),
+            pc.cast(as_single_array(b["text"]), pa.large_string()),
+            footer,
+            pa.scalar("\n", pa.large_string()),
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return remove_boilerplate_lines(
+        ds.map_batches(derive, batch_format="pyarrow"), min_count=3
+    )
+
+
 def q_fingerprint(sf_dir: str):
     """Normalized md5 document fingerprint per doc."""
     from ..stages.dedup import add_fingerprint
@@ -1649,6 +1682,7 @@ QUERIES = {
     "field_check_en": q_field_check_en,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
+    "boilerplate_lines": q_boilerplate_lines,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1726,6 +1760,28 @@ ORACLE_SQL = {
             SELECT 1 FROM prior p WHERE p.text IS NOT DISTINCT FROM n.text
         )
         GROUP BY n.text
+    """,
+    "boilerplate_lines": """
+        WITH src AS (
+            SELECT doc_id,
+                   'nav menu home' || chr(10) || text || chr(10)
+                   || 'footer id ' || CAST(doc_id % 5 AS VARCHAR) AS t
+            FROM documents
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(t, chr(10))) AS line,
+                   generate_subscripts(regexp_split_to_array(t, chr(10)), 1)
+                       AS ord
+            FROM src
+        ), boiler AS (
+            SELECT line FROM lines GROUP BY line HAVING count(*) >= 3
+        )
+        SELECT l.doc_id,
+               coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)
+                        FILTER (WHERE b.line IS NULL), '') AS text_clean,
+               count(b.line) AS n_lines_removed
+        FROM lines l LEFT JOIN boiler b USING (line)
+        GROUP BY l.doc_id
     """,
     "fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp

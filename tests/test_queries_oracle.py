@@ -16,6 +16,7 @@ CHECKED = [
     "field_check_en",
     "dedup_exact",
     "dedup_incremental",
+    "boilerplate_lines",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
