@@ -275,6 +275,30 @@ def q_boilerplate_lines(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam): docs with
+    doc_id % 97 == 0 play the held-out eval benchmark; every other doc is
+    scanned for 5-gram overlap with the eval set (broadcast hash set,
+    zero shuffles)."""
+    from ..stages.decontam import eval_ngram_set, flag_contaminated
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = pa.array(ids % 97 == 0)
+            return b.filter(m if keep_eval else pc.invert(m))
+        return f
+
+    ev = eval_ngram_set(
+        ds.map_batches(split(True), batch_format="pyarrow"), "text", k=5
+    )
+    train = ds.map_batches(split(False), batch_format="pyarrow")
+    return flag_contaminated(train, ev, text_col="text", id_col="doc_id", k=5)
+
+
 def q_fingerprint(sf_dir: str):
     """Normalized md5 document fingerprint per doc."""
     from ..stages.dedup import add_fingerprint
@@ -1683,6 +1707,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "boilerplate_lines": q_boilerplate_lines,
+    "decontaminate": q_decontaminate,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1760,6 +1785,26 @@ ORACLE_SQL = {
             SELECT 1 FROM prior p WHERE p.text IS NOT DISTINCT FROM n.text
         )
         GROUP BY n.text
+    """,
+    "decontaminate": """
+        WITH evald AS (SELECT lower(text) AS t FROM documents
+                       WHERE doc_id % 97 = 0),
+             train AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE doc_id % 97 <> 0),
+             ew AS (SELECT string_split(t, ' ') AS ws FROM evald),
+             eg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                    FROM ew, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             tw AS (SELECT doc_id, string_split(t, ' ') AS ws FROM train),
+             tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                    FROM tw, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             hits AS (SELECT tg.doc_id, count(*) AS n
+                      FROM tg JOIN eg USING (g) GROUP BY tg.doc_id)
+        SELECT t.doc_id,
+               coalesce(h.n, 0) AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
     """,
     "boilerplate_lines": """
         WITH src AS (

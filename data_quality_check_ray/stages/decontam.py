@@ -1,0 +1,119 @@
+"""Benchmark decontamination (SURVEY.md §2 training-data ops).
+
+Training corpora must not contain the evaluation benchmarks.  The
+standard recipe (GPT-3 appendix C, PaLM, Llama): build the set of word
+n-grams occurring in any eval document, then flag every training doc
+that contains one.  Shapes as two Ray Data stages and ZERO shuffles:
+
+    build  [map_batches + driver fold]  eval docs -> unique n-gram hash
+           set, sorted, ``ray.put`` ONCE (eval sets are small by nature —
+           benchmarks are thousands of docs, not billions; a limit guard
+           fails fast otherwise)
+    scan   [map_batches]  per training batch: vectorized shingle hashes,
+           searchsorted membership, per-doc hit counts via bincount
+
+N-gram identity = lowercased text split on single spaces, k consecutive
+words joined by one space — byte-compatible with the SQL oracle's
+string_split/string_agg definition; both sides compare the SAME 63-bit
+``pd.util.hash_array`` digests, so engine-vs-oracle differences reduce to
+hash collisions (~1e-7 at 1e6 distinct shingles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.segments import row_ids_from_offsets
+from ..functions.textstats import as_single_array
+
+#: refuse to broadcast an eval n-gram set larger than this
+EVAL_BROADCAST_BYTES = 512 << 20
+
+
+def _shingle_hash_rows(texts, k: int):
+    """-> (hash per shingle int64, owning-row id per shingle int64, n_rows).
+
+    Lower + single-space split (SQL string_split parity), k-word windows
+    joined by one space, hashed with the shared 63-bit vectorized hash."""
+    from ..functions.segments import list_to_numpy_segments
+
+    arr = as_single_array(texts)
+    arr = pc.utf8_lower(pc.fill_null(pc.cast(arr, pa.large_string()), ""))
+    words = pc.split_pattern(arr, " ")
+    wvals, woff = list_to_numpy_segments(words)
+    n_rows = len(woff) - 1
+    if len(wvals) < k:
+        e = np.array([], dtype=np.int64)
+        return e, e, n_rows
+    row_ids = row_ids_from_offsets(woff)
+    parts = [wvals.slice(i, len(wvals) - k + 1) for i in range(k)]
+    sh = pc.binary_join_element_wise(
+        *parts, pa.scalar(" ", pa.large_string())
+    )
+    valid = row_ids[: len(wvals) - k + 1] == row_ids[k - 1:]
+    sh = sh.filter(pa.array(valid))
+    rows = row_ids[: len(wvals) - k + 1][valid]
+    obj = np.asarray(sh.to_numpy(zero_copy_only=False), dtype=object)
+    h = (pd.util.hash_array(obj) >> np.uint64(1)).astype(np.int64)
+    return h, rows, n_rows
+
+
+def eval_ngram_set(eval_ds, text_col: str = "text", k: int = 8,
+                   broadcast_limit: int = EVAL_BROADCAST_BYTES):
+    """-> sorted np.int64 array of the eval corpus's distinct n-gram
+    hashes (the broadcast side of ``flag_contaminated``)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, _, _ = _shingle_hash_rows(b[text_col], k)
+        return pa.table({"h": np.unique(h)})
+
+    parts = list(
+        eval_ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    if not parts:
+        return np.array([], dtype=np.int64)
+    hs = np.unique(np.concatenate(
+        [p["h"].to_numpy(zero_copy_only=False) for p in parts]
+    ))
+    if hs.nbytes > broadcast_limit:
+        raise ValueError(
+            f"eval n-gram set is {hs.nbytes >> 20} MiB (> "
+            f"{broadcast_limit >> 20} MiB): not an eval-benchmark-sized "
+            "input — shard it or raise the limit"
+        )
+    return hs
+
+
+def flag_contaminated(ds, eval_hashes: np.ndarray, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 8):
+    """-> Dataset(id_col, n_contaminated, contaminated).
+
+    ``n_contaminated`` counts n-gram OCCURRENCES in the doc that appear
+    in the eval set (a doc repeating one leaked n-gram 5 times counts 5);
+    ``contaminated`` is n_contaminated > 0.  ``eval_hashes`` comes from
+    ``eval_ngram_set`` and is shipped via ``ray.put`` once."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(eval_hashes, dtype=np.int64)))
+
+    def scan(b: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        h, rows, n_rows = _shingle_hash_rows(b[text_col], k)
+        if len(h) and len(ev):
+            pos = np.searchsorted(ev, h)
+            pos[pos == len(ev)] = 0
+            hit = ev[pos] == h
+            n = np.bincount(rows[hit], minlength=n_rows).astype(np.int64)
+        else:
+            n = np.zeros(n_rows, dtype=np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_contaminated": pa.array(n),
+            "contaminated": pa.array(n > 0),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
