@@ -299,6 +299,60 @@ def q_decontaminate(sf_dir: str):
     return flag_contaminated(train, ev, text_col="text", id_col="doc_id", k=5)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (stages/packing): map every doc to its training
+    context windows (seq_len=512) via a distributed prefix sum over
+    token-count digests; forced num_ranges=8 so the range machinery is
+    exercised even at test scale."""
+    from ..stages.packing import pack_sequences
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512, num_ranges=8)
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 2
+    iterations, init = the 8 smallest vec_ids) -> (vec_id, cluster_id).
+    All-integer output; the oracle unrolls the same two iterations in
+    SQL."""
+    from ..stages.cluster import kmeans_assign, kmeans_fit
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    c = kmeans_fit(ds, k=8, iters=2)
+    out = kmeans_assign(ds, c)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b["vec_id"],
+                         "cluster_id": pc.cast(b["cluster_id"], pa.int64())})
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup: k-means clusters (same fixed recipe as
+    ``kmeans_embeddings``) then within-cluster cosine near-dup marking at
+    tau=0.4 (the corpus threshold proven in ``embed_dup_pairs``)."""
+    from ..stages.cluster import semdedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = semdedup(ds, k=8, iters=2, tau=0.4)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cluster_id": pc.cast(b["cluster_id"], pa.int64()),
+            "is_dup": b["is_dup"],
+            "rep_id": b["rep_id"],
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def q_fingerprint(sf_dir: str):
     """Normalized md5 document fingerprint per doc."""
     from ..stages.dedup import add_fingerprint
@@ -1708,6 +1762,9 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "boilerplate_lines": q_boilerplate_lines,
     "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup": q_semdedup,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1748,6 +1805,41 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "host_topk": q_host_topk,
 }
+
+def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
+    """Unrolled Lloyd CTE chain mirroring stages/cluster.kmeans_fit's
+    deterministic recipe: init = k smallest vec_ids, squared-L2 argmin
+    with lowest-cid tie-break, centroid = member mean, empty cluster
+    keeps its centroid.  Produces ``a{rounds}`` = (vec_id, cid), the
+    assignment under the centroids after ``rounds - 1`` updates."""
+    r1 = dim + 1
+    parts = [f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0full AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                               AS INTEGER) AS cid, v
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        d{r} AS (SELECT e.vec_id, c.cid,
+                        sum((e.v[t.i] - c.v[t.i]) * (e.v[t.i] - c.v[t.i])) AS dist
+                 FROM e CROSS JOIN c{r - 1}full c
+                      CROSS JOIN UNNEST(range(1, {r1})) AS t(i)
+                 GROUP BY e.vec_id, c.cid),
+        a{r} AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM d{r}) WHERE rn = 1)""")
+        if r < rounds:
+            parts.append(f"""
+        m{r} AS (SELECT a{r}.cid, t.i, avg(e.v[t.i]) AS x
+                 FROM a{r} JOIN e USING (vec_id)
+                      CROSS JOIN UNNEST(range(1, {r1})) AS t(i)
+                 GROUP BY a{r}.cid, t.i),
+        mv{r} AS (SELECT cid, list(x ORDER BY i) AS v FROM m{r} GROUP BY cid),
+        c{r}full AS (SELECT p.cid, coalesce(mv{r}.v, p.v) AS v
+                     FROM c{r - 1}full p LEFT JOIN mv{r} USING (cid))""")
+    return "WITH" + ",".join(parts)
+
 
 ORACLE_SQL = {
     "doc_stats": """
@@ -1805,6 +1897,46 @@ ORACLE_SQL = {
                coalesce(h.n, 0) AS n_contaminated,
                coalesce(h.n, 0) > 0 AS contaminated
         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+    "pack_sequences": """
+        -- same whitespace tokenizer as token_counts; global prefix sum in
+        -- doc_id order; 512-token windows, docs may span windows
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) END
+                        AS BIGINT) AS n_tokens
+            FROM documents),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS token_offset
+            FROM c)
+        SELECT doc_id, n_tokens, token_offset,
+               CAST(CASE WHEN n_tokens = 0 THEN -1
+                    ELSE token_offset // 512 END AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens = 0 THEN -1
+                    ELSE (token_offset + n_tokens - 1) // 512 END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (token_offset + n_tokens - 1) // 512 - token_offset // 512 + 1
+                    END AS BIGINT) AS n_seqs
+        FROM o
+    """,
+    "kmeans_embeddings": _kmeans_cte(3) + """
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a3
+    """,
+    "semdedup": _kmeans_cte(3) + """,
+        pairs AS (
+            SELECT b.vec_id AS vid, min(a.vec_id) AS rep
+            FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 JOIN e ea ON ea.vec_id = a.vec_id
+                 JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+            GROUP BY b.vec_id)
+        SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster_id,
+               p.rep IS NOT NULL AS is_dup, p.rep AS rep_id
+        FROM a3 LEFT JOIN pairs p ON p.vid = a3.vec_id
     """,
     "boilerplate_lines": """
         WITH src AS (

@@ -1,0 +1,204 @@
+"""Distributed k-means over embedding columns + SemDeDup semantic dedup.
+
+Training-data curation needs topic/centroid structure over the corpus's
+embeddings: IVF cells for ANN (stages/ann.py fits those on a driver-side
+SAMPLE), domain-balance reporting, and SemDeDup-style semantic dedup
+(Abbas et al. 2023: cluster, then drop near-identical docs WITHIN each
+cluster — the cluster assignment prunes the O(n²) pair space).
+
+Lloyd iterations are expressed as Ray Data passes with ZERO shuffles:
+
+    assign  [map_batches]  centroids ``ray.put`` once per iteration; each
+            block does one (B x d) @ (d x k) float64 matmul and emits a
+            k-row partial (cluster, count, per-dim sums)
+    update  [driver fold]  partials stream back via iter_batches — k x d
+            doubles per BLOCK, independent of corpus size — and fold into
+            the next centroid set (empty cluster -> keeps its centroid)
+
+At 10^12 vectors fit on a hash-sample (``functions/sampling``) and
+``kmeans_assign`` the full corpus in one streaming pass — same recipe the
+IVF index uses (ann.py:121).  The per-iteration pass re-executes the
+input's lineage; pass a materialized sample for multi-iteration fits.
+
+Determinism: init = the k vectors with the smallest ids (distributed
+partial top-k, no sort shuffle), distances in float64, argmin ties ->
+lowest cluster index, update = sum/count.  Output is integer ids only, so
+the DuckDB oracle (same unrolled recipe over UNNEST(range(1,d+1)))
+matches hash-exactly; float fuzz only matters on exact-tie boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import _as_matrix
+
+#: refuse per-cluster pair scans beyond this many vectors (O(n²) guard)
+SEMDEDUP_MAX_CLUSTER = 2_000_000
+
+
+def _argmin_assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by squared L2 (expanded form: the |x|²
+    term is row-constant and drops out of the argmin).  float64 in,
+    ties -> lowest index (np.argmin)."""
+    scores = -2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+    return np.argmin(scores, axis=1).astype(np.int32)
+
+
+def seed_centroids(ds, col: str, id_col: str, k: int) -> np.ndarray:
+    """Deterministic init: embeddings of the k SMALLEST ids.
+
+    Per-block partial top-k-smallest then one tiny driver fold — no sort
+    shuffle; each block contributes at most k rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return pa.table({id_col: ids[take],
+                         col: b[col].combine_chunks().take(pa.array(take))})
+
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        raise ValueError("cannot seed k-means from an empty dataset")
+    t = pa.concat_tables(parts)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    take = np.argsort(ids, kind="stable")[:k]
+    m = _as_matrix(t[col].combine_chunks().take(pa.array(take)), np.float64)
+    if len(m) < k:
+        raise ValueError(f"need >= {k} vectors to seed k-means, got {len(m)}")
+    return m
+
+
+def kmeans_fit(ds, col: str = "embedding", id_col: str = "vec_id",
+               k: int = 8, iters: int = 10,
+               init: np.ndarray | None = None) -> np.ndarray:
+    """-> (k, d) float64 centroids after ``iters`` Lloyd passes.
+
+    Each pass streams the dataset once (no shuffle, no materialization);
+    partial sums are one k-row table per block."""
+    import ray
+
+    c = np.asarray(init, dtype=np.float64) if init is not None \
+        else seed_centroids(ds, col, id_col, k)
+    d = c.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(c)
+
+        def partial(b: pa.Table) -> pa.Table:
+            cc = ray.get(ref)
+            x = _as_matrix(b[col], np.float64)
+            a = _argmin_assign(x, cc)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, a, x)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            nz = np.flatnonzero(n)
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32)),
+                "n": pa.array(n[nz]),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[nz].ravel()), d),
+            })
+
+        tot_n = np.zeros(k, dtype=np.int64)
+        tot_s = np.zeros((k, d), dtype=np.float64)
+        for p in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if not len(p):
+                continue
+            cl = np.asarray(p["cluster"].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+            tot_n[cl] += p["n"].to_numpy(zero_copy_only=False)
+            s = np.asarray(p["s"].combine_chunks().values.to_numpy(
+                zero_copy_only=False), dtype=np.float64).reshape(-1, d)
+            tot_s[cl] += s
+        live = tot_n > 0
+        c = c.copy()
+        c[live] = tot_s[live] / tot_n[live, None]
+    return c
+
+
+def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding",
+                  id_col: str = "vec_id", keep_embedding: bool = False):
+    """-> Dataset(id_col[, col], cluster_id): one streaming pass, centroids
+    broadcast once."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        a = _argmin_assign(_as_matrix(b[col], np.float64), cc)
+        cols = {id_col: b[id_col]}
+        if keep_embedding:
+            cols[col] = b[col]
+        cols["cluster_id"] = pa.array(a)
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
+             k: int = 8, iters: int = 2, tau: float = 0.4,
+             centroids: np.ndarray | None = None,
+             max_cluster: int = SEMDEDUP_MAX_CLUSTER):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540), deterministic form:
+    cluster embeddings, then within each cluster mark every vector whose
+    cosine to some SMALLER-id cluster-mate is >= tau as a duplicate of the
+    smallest such mate.
+
+    -> Dataset(id_col, cluster_id, is_dup, rep_id)  (rep_id null on keeps)
+
+    One shuffle total: the groupby on cluster_id co-locates each cluster;
+    the O(n²) pair scan runs per cluster with a fail-fast size guard (at
+    scale raise k so clusters stay bounded — pair pruning is the POINT of
+    the clustering step)."""
+    if centroids is None:
+        centroids = kmeans_fit(ds, col, id_col, k=k, iters=iters)
+    assigned = kmeans_assign(ds, centroids, col, id_col, keep_embedding=True)
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semdedup cluster of {len(g)} vectors exceeds "
+                f"max_cluster={max_cluster}: raise k to bound the pair scan"
+            )
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = _as_matrix(g[col], np.float64)[order]
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        x = x / nrm
+        n = len(ids)
+        rep = np.full(n, -1, dtype=np.int64)
+        # chunked lower-triangle scan: rows j only compare against i < j
+        step = 4096
+        for lo in range(1, n, step):
+            hi = min(lo + step, n)
+            sims = x[lo:hi] @ x[:hi].T          # (chunk, hi)
+            jj = np.arange(lo, hi)[:, None]
+            hit = (sims >= tau) & (np.arange(hi)[None, :] < jj)
+            any_hit = hit.any(axis=1)
+            first = hit.argmax(axis=1)          # smallest i (ids sorted)
+            rep[lo:hi][any_hit] = ids[first[any_hit]]
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster_id": g["cluster_id"].combine_chunks().take(
+                pa.array(order)),
+            "is_dup": pa.array(rep >= 0),
+            "rep_id": pc.if_else(pa.array(rep >= 0), pa.array(rep),
+                                 pa.scalar(None, pa.int64())),
+        })
+
+    return assigned.groupby("cluster_id").map_groups(
+        dedup_group, batch_format="pyarrow"
+    )

@@ -17,6 +17,10 @@ CHECKED = [
     "dedup_exact",
     "dedup_incremental",
     "boilerplate_lines",
+    "decontaminate",
+    "pack_sequences",
+    "kmeans_embeddings",
+    "semdedup",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
