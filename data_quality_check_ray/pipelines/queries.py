@@ -353,6 +353,17 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic train-order shuffle (stages/shuffle): seeded md5
+    order cut into 8 shards, position = rank within shard.  md5 mode for
+    oracle parity; production uses mode='fast' (vectorized 63-bit)."""
+    from ..stages.shuffle import shuffle_shards
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_shards(ds, seed=17, num_shards=8, mode="md5")
+
+
 def q_fingerprint(sf_dir: str):
     """Normalized md5 document fingerprint per doc."""
     from ..stages.dedup import add_fingerprint
@@ -1765,6 +1776,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
+    "shuffle_shards": q_shuffle_shards,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1937,6 +1949,23 @@ ORACLE_SQL = {
         SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster_id,
                p.rep IS NOT NULL AS is_dup, p.rep AS rep_id
         FROM a3 LEFT JOIN pairs p ON p.vid = a3.vec_id
+    """,
+    "shuffle_shards": """
+        -- seeded md5 order; shard = first hex nibble // 2 (== first byte
+        -- // 32, the engine's 8-shard top-bits rule); lowercase-hex
+        -- lexicographic order == numeric order
+        WITH k AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':17') AS h
+            FROM documents),
+        s AS (
+            SELECT doc_id, h,
+                   CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2
+                        AS BIGINT) AS shard
+            FROM k)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    - 1 AS BIGINT) AS pos
+        FROM s
     """,
     "boilerplate_lines": """
         WITH src AS (

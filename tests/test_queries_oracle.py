@@ -21,6 +21,7 @@ CHECKED = [
     "pack_sequences",
     "kmeans_embeddings",
     "semdedup",
+    "shuffle_shards",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
