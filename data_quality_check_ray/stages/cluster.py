@@ -74,15 +74,28 @@ def seed_centroids(ds, col: str, id_col: str, k: int) -> np.ndarray:
     return m
 
 
+def _materialize_if_small(ds, max_bytes: int = 1 << 30):
+    """Iterative fits stream the input once PER PASS; when metadata says
+    the input is small (a sample, a test table), re-executing the read
+    lineage each pass costs more than holding the blocks — materialize
+    once.  Large inputs keep streaming (re-read beats holding 100 TB)."""
+    from .joins import cheap_size_bytes
+
+    sz = cheap_size_bytes(ds)
+    return ds.materialize() if sz is not None and sz < max_bytes else ds
+
+
 def kmeans_fit(ds, col: str = "embedding", id_col: str = "vec_id",
                k: int = 8, iters: int = 10,
                init: np.ndarray | None = None) -> np.ndarray:
     """-> (k, d) float64 centroids after ``iters`` Lloyd passes.
 
-    Each pass streams the dataset once (no shuffle, no materialization);
-    partial sums are one k-row table per block."""
+    Each pass streams the dataset once (no shuffle; small inputs are
+    pinned via ``_materialize_if_small``); partial sums are one k-row
+    table per block."""
     import ray
 
+    ds = _materialize_if_small(ds)
     c = np.asarray(init, dtype=np.float64) if init is not None \
         else seed_centroids(ds, col, id_col, k)
     d = c.shape[1]
@@ -158,6 +171,7 @@ def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
     the O(n²) pair scan runs per cluster with a fail-fast size guard (at
     scale raise k so clusters stay bounded — pair pruning is the POINT of
     the clustering step)."""
+    ds = _materialize_if_small(ds)
     if centroids is None:
         centroids = kmeans_fit(ds, col, id_col, k=k, iters=iters)
     assigned = kmeans_assign(ds, centroids, col, id_col, keep_embedding=True)

@@ -71,6 +71,8 @@ def _range_plan(digests, id_col: str, num_ranges: int | None):
     n_docs = digests.count()
     if n_docs == 0:
         return np.array([], dtype=np.int64), 0
+    if num_ranges == 1:  # no boundaries needed — skip the sampling pass
+        return np.array([], dtype=np.int64), n_docs
     sampled_ids = [
         p["sid"].to_numpy(zero_copy_only=False)
         for p in digests.map_batches(sample, batch_format="pyarrow")
@@ -112,26 +114,31 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
             "n_seqs")})
         return rd.from_arrow(empty)
     nb = len(boundaries) + 1
-    bref = ray.put(boundaries)
+    if nb == 1:
+        # single range: every doc lands in range 0 with start 0 — the
+        # totals pass would fold to [0] anyway
+        starts = np.zeros(1, dtype=np.int64)
+    else:
+        bref = ray.put(boundaries)
 
-    # pass 2: per-range token totals (k-row partials, driver fold)
-    def totals(b: pa.Table) -> pa.Table:
-        bd = ray.get(bref)
-        r = np.searchsorted(bd, b[id_col].to_numpy(zero_copy_only=False),
-                            side="right")
-        t = np.bincount(r, weights=b["n_tokens"].to_numpy(
-            zero_copy_only=False), minlength=nb).astype(np.int64)
-        nz = np.flatnonzero(t)
-        return pa.table({"r": pa.array(nz.astype(np.int64)),
-                         "t": pa.array(t[nz])})
+        # pass 2: per-range token totals (k-row partials, driver fold)
+        def totals(b: pa.Table) -> pa.Table:
+            bd = ray.get(bref)
+            r = np.searchsorted(bd, b[id_col].to_numpy(zero_copy_only=False),
+                                side="right")
+            t = np.bincount(r, weights=b["n_tokens"].to_numpy(
+                zero_copy_only=False), minlength=nb).astype(np.int64)
+            nz = np.flatnonzero(t)
+            return pa.table({"r": pa.array(nz.astype(np.int64)),
+                             "t": pa.array(t[nz])})
 
-    range_tokens = np.zeros(nb, dtype=np.int64)
-    for p in digests.map_batches(totals, batch_format="pyarrow") \
-                    .iter_batches(batch_size=None, batch_format="pyarrow"):
-        if len(p):
-            range_tokens[p["r"].to_numpy(zero_copy_only=False)] += \
-                p["t"].to_numpy(zero_copy_only=False)
-    starts = np.concatenate([[0], np.cumsum(range_tokens)[:-1]])
+        range_tokens = np.zeros(nb, dtype=np.int64)
+        for p in digests.map_batches(totals, batch_format="pyarrow") \
+                        .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(p):
+                range_tokens[p["r"].to_numpy(zero_copy_only=False)] += \
+                    p["t"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.cumsum(range_tokens)[:-1]])
     sref = ray.put((boundaries, starts))
 
     def tag(b: pa.Table) -> pa.Table:
