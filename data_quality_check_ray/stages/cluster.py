@@ -79,8 +79,12 @@ def _materialize_if_small(ds, max_bytes: int = 1 << 30):
     the input is small (a sample, a test table), re-executing the read
     lineage each pass costs more than holding the blocks — materialize
     once.  Large inputs keep streaming (re-read beats holding 100 TB)."""
+    from ray.data.dataset import MaterializedDataset
+
     from .joins import cheap_size_bytes
 
+    if isinstance(ds, MaterializedDataset):
+        return ds
     sz = cheap_size_bytes(ds)
     return ds.materialize() if sz is not None and sz < max_bytes else ds
 
@@ -159,7 +163,8 @@ def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding",
 def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
              k: int = 8, iters: int = 2, tau: float = 0.4,
              centroids: np.ndarray | None = None,
-             max_cluster: int = SEMDEDUP_MAX_CLUSTER):
+             max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+             dtype=np.float64):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540), deterministic form:
     cluster embeddings, then within each cluster mark every vector whose
     cosine to some SMALLER-id cluster-mate is >= tau as a duplicate of the
@@ -170,7 +175,9 @@ def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
     One shuffle total: the groupby on cluster_id co-locates each cluster;
     the O(n²) pair scan runs per cluster with a fail-fast size guard (at
     scale raise k so clusters stay bounded — pair pruning is the POINT of
-    the clustering step)."""
+    the clustering step).  ``dtype``: float64 (default) for oracle-exact
+    cosines; pass float32 at scale — the pair matmul is memory-bound and
+    halves its traffic, at ~1e-7 cosine noise vs a tau threshold."""
     ds = _materialize_if_small(ds)
     if centroids is None:
         centroids = kmeans_fit(ds, col, id_col, k=k, iters=iters)
@@ -186,7 +193,7 @@ def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
                          dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        x = _as_matrix(g[col], np.float64)[order]
+        x = _as_matrix(g[col], dtype)[order]
         nrm = np.linalg.norm(x, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         x = x / nrm

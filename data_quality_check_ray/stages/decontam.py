@@ -13,10 +13,9 @@ that contains one.  Shapes as two Ray Data stages and ZERO shuffles:
            searchsorted membership, per-doc hit counts via bincount
 
 N-gram identity = lowercased text split on single spaces, k consecutive
-words joined by one space — byte-compatible with the SQL oracle's
-string_split/string_agg definition; both sides compare the SAME 63-bit
-``pd.util.hash_array`` digests, so engine-vs-oracle differences reduce to
-hash collisions (~1e-7 at 1e6 distinct shingles).
+words — matching the SQL oracle's string_split definition; the engine
+compares 63-bit polynomial word-hash digests, so engine-vs-oracle
+differences reduce to hash collisions (~1e-7 at 1e6 distinct shingles).
 """
 
 from __future__ import annotations
@@ -36,8 +35,12 @@ EVAL_BROADCAST_BYTES = 512 << 20
 def _shingle_hash_rows(texts, k: int):
     """-> (hash per shingle int64, owning-row id per shingle int64, n_rows).
 
-    Lower + single-space split (SQL string_split parity), k-word windows
-    joined by one space, hashed with the shared 63-bit vectorized hash."""
+    Lower + single-space split (SQL string_split parity); shingle hash =
+    polynomial combine of per-UNIQUE-word 64-bit hashes (the
+    ``stages/dedup.shingle_hashes`` factoring: hashing cost scales with
+    the batch VOCABULARY, not the token stream — the earlier
+    per-occurrence string-join + object-array hash measured 27k docs/s at
+    3.2M docs; this path removes both per-shingle allocations)."""
     from ..functions.segments import list_to_numpy_segments
 
     arr = as_single_array(texts)
@@ -48,16 +51,20 @@ def _shingle_hash_rows(texts, k: int):
     if len(wvals) < k:
         e = np.array([], dtype=np.int64)
         return e, e, n_rows
+    dct = as_single_array(wvals).dictionary_encode()
+    uniq = np.asarray(dct.dictionary.to_numpy(zero_copy_only=False),
+                      dtype=object)
+    uh = pd.util.hash_array(uniq)
+    wh = uh[np.asarray(dct.indices, dtype=np.int64)]
     row_ids = row_ids_from_offsets(woff)
-    parts = [wvals.slice(i, len(wvals) - k + 1) for i in range(k)]
-    sh = pc.binary_join_element_wise(
-        *parts, pa.scalar(" ", pa.large_string())
-    )
-    valid = row_ids[: len(wvals) - k + 1] == row_ids[k - 1:]
-    sh = sh.filter(pa.array(valid))
-    rows = row_ids[: len(wvals) - k + 1][valid]
-    obj = np.asarray(sh.to_numpy(zero_copy_only=False), dtype=object)
-    h = (pd.util.hash_array(obj) >> np.uint64(1)).astype(np.int64)
+    n = len(wh)
+    P = np.uint64(1099511628211)
+    sh = wh[: n - k + 1].copy()
+    for j in range(1, k):
+        sh = sh * P + wh[j: n - k + 1 + j]
+    valid = row_ids[: n - k + 1] == row_ids[k - 1:]
+    h = (sh[valid] >> np.uint64(1)).astype(np.int64)
+    rows = row_ids[: n - k + 1][valid]
     return h, rows, n_rows
 
 

@@ -135,7 +135,8 @@ def main() -> None:
     timed("kmeans_fit_k64_i3", run_kmeans, args.vecs * 3)
 
     timed("semdedup_k64",
-          lambda: semdedup(vecs, k=64, iters=2, tau=0.9).count(),
+          lambda: semdedup(vecs, k=64, iters=2, tau=0.9,
+                           dtype=np.float32).count(),
           args.vecs)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
