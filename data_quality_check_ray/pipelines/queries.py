@@ -353,6 +353,16 @@ def q_semdedup(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (stages/chunking): 12-token
+    chunks, 4-token overlap, reassembled chunk text."""
+    from ..stages.chunking import chunk_documents
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=12, overlap=4)
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic train-order shuffle (stages/shuffle): seeded md5
     order cut into 8 shards, position = rank within shard.  md5 mode for
@@ -1776,6 +1786,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
+    "chunk_documents": q_chunk_documents,
     "shuffle_shards": q_shuffle_shards,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
@@ -1949,6 +1960,26 @@ ORACLE_SQL = {
         SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster_id,
                p.rep IS NOT NULL AS is_dup, p.rep AS rep_id
         FROM a3 LEFT JOIN pairs p ON p.vid = a3.vec_id
+    """,
+    "chunk_documents": """
+        -- same whitespace tokenizer as token_counts; 12-token windows,
+        -- stride 8, last partial window kept; list slice is 1-based
+        -- inclusive with clamping
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
+            FROM documents
+            WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
+        n AS (
+            SELECT doc_id, ws,
+                   1 + greatest(CAST(ceil((len(ws) - 12) / 8.0) AS BIGINT), 0)
+                       AS n_chunks
+            FROM c)
+        SELECT doc_id, t.i AS chunk_id, n_chunks,
+               array_to_string(ws[CAST(t.i * 8 + 1 AS BIGINT):
+                                  CAST(least(t.i * 8 + 12, len(ws)) AS BIGINT)],
+                               ' ') AS chunk_text
+        FROM n, UNNEST(range(0, n_chunks)) AS t(i)
     """,
     "shuffle_shards": """
         -- seeded md5 order; shard = first hex nibble // 2 (== first byte

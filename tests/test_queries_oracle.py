@@ -22,6 +22,7 @@ CHECKED = [
     "kmeans_embeddings",
     "semdedup",
     "shuffle_shards",
+    "chunk_documents",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
