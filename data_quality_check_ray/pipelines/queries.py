@@ -1771,6 +1771,34 @@ def q_audio_frame_rms(sf_dir: str):
     )
 
 
+#: BM25 query terms — the SQL oracle's contribution chain adds them in
+#: EXACTLY this order (left-to-right float64 association parity).
+BM25_TERMS = ("join", "window", "hash", "stream")
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 keyword ranking (stages/search): top-10 docs for a
+    4-term query.  Two streaming text sweeps, zero shuffles — stats pass
+    ships one (2+|terms|)-int64 row per block, scoring pass broadcasts
+    (idf, avgdl) once and ships k candidate rows per block."""
+    from ..stages.search import bm25_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    top = bm25_topk(ds, "text", "doc_id", list(BM25_TERMS), k=10)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "bm25": pa.array(_round_half_away(
+                b["bm25"].to_numpy(zero_copy_only=False), 4),
+                type=pa.float64()),
+        })
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1788,6 +1816,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "chunk_documents": q_chunk_documents,
     "shuffle_shards": q_shuffle_shards,
+    "bm25_topk": q_bm25_topk,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -1865,6 +1894,64 @@ def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
 
 
 ORACLE_SQL = {
+    # BM25: same RE2 tokenization (string_split_regex \\s+), e-notation
+    # literals so DuckDB parses them as DOUBLE (plain 1.2 would be
+    # DECIMAL and break float association parity), contributions added
+    # in the engine's exact left-to-right term order.
+    "bm25_topk": """
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS parts
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, t.tok FROM base, UNNEST(parts) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        dl AS (
+          SELECT b.doc_id, coalesce(c.c, 0) AS dl
+          FROM base b LEFT JOIN (
+            SELECT doc_id, count(*) AS c FROM toks GROUP BY doc_id
+          ) c USING (doc_id)
+        ),
+        st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+        dfs AS (
+          SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+          WHERE tok IN ('join','window','hash','stream') GROUP BY tok
+        ),
+        tfs AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks
+          WHERE tok IN ('join','window','hash','stream')
+          GROUP BY doc_id, tok
+        ),
+        contrib AS (
+          SELECT d.doc_id, f.tok,
+                 ln(1e0 + ((st.n - f.df) + 0.5e0) / (f.df + 0.5e0))
+                   * (t.tf * (1.2e0 + 1e0))
+                   / (t.tf + 1.2e0 * ((1e0 - 0.75e0)
+                        + (0.75e0 * d.dl)
+                          / (CAST(st.sdl AS DOUBLE) / st.n))) AS c
+          FROM dl d
+          JOIN tfs t ON t.doc_id = d.doc_id
+          JOIN dfs f ON f.tok = t.tok
+          CROSS JOIN st
+        ),
+        scored AS (
+          SELECT d.doc_id,
+            0e0
+            + coalesce((SELECT c FROM contrib
+                        WHERE doc_id = d.doc_id AND tok = 'join'), 0e0)
+            + coalesce((SELECT c FROM contrib
+                        WHERE doc_id = d.doc_id AND tok = 'window'), 0e0)
+            + coalesce((SELECT c FROM contrib
+                        WHERE doc_id = d.doc_id AND tok = 'hash'), 0e0)
+            + coalesce((SELECT c FROM contrib
+                        WHERE doc_id = d.doc_id AND tok = 'stream'), 0e0)
+              AS score
+          FROM dl d
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
     "doc_stats": """
         SELECT lang, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars

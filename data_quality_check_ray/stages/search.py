@@ -1,0 +1,160 @@
+"""Distributed BM25 keyword ranking over a document corpus.
+
+Okapi BM25 (Robertson-Sparck Jones probabilistic relevance framework;
+the Lucene variant with the +1 inside the idf log so scores stay
+non-negative) re-expressed Ray-Data-first.  The reference repo has no
+search operator — this is part of the training-data/similarity-search
+surface the engine adds beyond the reference's per-record validation
+core (SURVEY.md §2.6 "absent in reference").
+
+Two streaming sweeps over the text column, zero shuffles:
+
+  pass 1 (stats)  — ``corpus_stats``: per-block Arrow partials -> ONE
+                    tiny combine.  The exchange is one row of
+                    (2 + |terms|) int64 per block (corpus size N, total
+                    token count for avgdl, per-query-term document
+                    frequencies); text never moves.
+  pass 2 (score)  — ``bm25_topk``: (terms, idf, avgdl) broadcast via
+                    ``ray.put`` ONCE; per batch one RE2 split +
+                    ``pc.index_in`` against the term table + one
+                    bincount gives the (doc x term) tf matrix.  The
+                    BM25 sum accumulates LEFT-TO-RIGHT over terms in
+                    float64 with the exact association the SQL oracle's
+                    ``a + b + ...`` chain uses, so engine and oracle are
+                    bit-comparable before rounding.  Per-block top-k
+                    partials (k rows/block) -> one tiny final
+                    sort+limit.
+
+Tokenization is ``lower(text)`` split on the RE2 ``\\s+`` with empty
+tokens dropped — the same RE2 DuckDB's ``string_split_regex`` runs, so
+both sides agree byte-for-byte (unlike ``utf8_split_whitespace``, whose
+unicode whitespace class differs from RE2's ASCII ``\\s``).
+
+Scale: |terms| is user-query sized (10^0..10^2) so the df/idf state is
+trivially broadcastable; full-vocabulary document frequencies would
+instead use the boilerplate.py unique-digest count-shuffle pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import as_single_array
+
+K1 = 1.2
+B = 0.75
+
+
+def _token_segments(texts) -> tuple[pa.Array, np.ndarray]:
+    """(flat lowered tokens incl. empties, list offsets) for a text col."""
+    t = pc.fill_null(pc.cast(as_single_array(texts), pa.large_string()), "")
+    toks = as_single_array(pc.split_pattern_regex(pc.utf8_lower(t), r"\s+"))
+    flat = as_single_array(pc.list_flatten(toks))
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]  # slice-invariant
+    return flat, off
+
+
+def _doc_term_counts(flat: pa.Array, off: np.ndarray, terms: pa.Array
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """-> (dl: int64[n] non-empty token count, tf: int64[n, T])."""
+    n, t_count = len(off) - 1, len(terms)
+    nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    tok_doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    dl = np.bincount(tok_doc, weights=nonempty, minlength=n).astype(np.int64)
+    idx = pc.index_in(flat, value_set=terms)
+    idx_np = idx.to_numpy(zero_copy_only=False)  # float w/ nan for miss
+    hit = ~np.isnan(idx_np) & nonempty
+    packed = tok_doc[hit] * t_count + idx_np[hit].astype(np.int64)
+    tf = np.bincount(packed, minlength=n * t_count).reshape(n, t_count)
+    return dl, tf
+
+
+def corpus_stats(ds, text_col: str, terms: list[str]) -> dict:
+    """One streaming pass -> {"n_docs", "sum_dl", "df": int64[T]}.
+
+    Per-block partial = ONE row; combine = one coalesced Arrow sum."""
+    terms_arr = pa.array(list(terms), type=pa.large_string())
+    t_count = len(terms)
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, off = _token_segments(b[text_col])
+        dl, tf = _doc_term_counts(flat, off, terms_arr)
+        cols = {
+            "n": pa.array([len(dl)], type=pa.int64()),
+            "sdl": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        present = (tf > 0).sum(axis=0)
+        for i in range(t_count):
+            cols[f"df{i}"] = pa.array([int(present[i])], type=pa.int64())
+        return pa.table(cols)
+
+    def combine(b: pa.Table) -> pa.Table:
+        return pa.table({
+            name: pa.array([int(pc.sum(b[name]).as_py() or 0)],
+                           type=pa.int64())
+            for name in b.column_names
+        })
+
+    row = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .repartition(1)
+             .map_batches(combine, batch_format="pyarrow", batch_size=None)
+             .take_all())[0]
+    return {
+        "n_docs": int(row["n"]),
+        "sum_dl": int(row["sdl"]),
+        "df": np.array([int(row[f"df{i}"]) for i in range(t_count)],
+                       dtype=np.int64),
+    }
+
+
+def bm25_scores(ds, text_col: str, id_col: str, terms: list[str],
+                stats: dict | None = None):
+    """-> Dataset(id_col, bm25: float64 raw score) for every document."""
+    import ray
+
+    if stats is None:
+        stats = corpus_stats(ds, text_col, terms)
+    n_docs = stats["n_docs"]
+    df = stats["df"].astype(np.float64)
+    # avgdl and idf computed ONCE from the same integer stats the oracle
+    # aggregates, with the oracle's exact expression shapes
+    avgdl = float(stats["sum_dl"]) / n_docs if n_docs else 1.0
+    idf = np.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+    bcast = ray.put((list(terms), idf, avgdl))
+
+    def score(b: pa.Table) -> pa.Table:
+        ts, idf_v, ad = ray.get(bcast)
+        terms_arr = pa.array(ts, type=pa.large_string())
+        flat, off = _token_segments(b[text_col])
+        dl, tf = _doc_term_counts(flat, off, terms_arr)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(len(dl), dtype=np.float64)
+        for t in range(len(ts)):  # left-to-right, matching the SQL chain
+            tfv = tf[:, t].astype(np.float64)
+            score = score + (idf_v[t] * (tfv * (K1 + 1))
+                             / (tfv + K1 * ((1 - B) + (B * dlf) / ad)))
+        return pa.table({id_col: b[id_col],
+                         "bm25": pa.array(score, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(ds, text_col: str, id_col: str, terms: list[str],
+              k: int = 10, stats: dict | None = None):
+    """Top-k docs by (bm25 desc, id asc): per-block partial top-k
+    (k candidate rows per block cross the wire) -> tiny final sort."""
+    scored = bm25_scores(ds, text_col, id_col, terms, stats=stats)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        s = b["bm25"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return b.take(pa.array(np.sort(order)))
+
+    return (scored.map_batches(local_topk, batch_format="pyarrow")
+            .sort(["bm25", id_col], descending=[True, False])
+            .limit(k))

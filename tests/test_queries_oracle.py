@@ -23,6 +23,7 @@ CHECKED = [
     "semdedup",
     "shuffle_shards",
     "chunk_documents",
+    "bm25_topk",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
