@@ -123,6 +123,32 @@ def write_langid_reference(sf_dir: str) -> str:
     return _write("langid_documents", tbl, stamp)
 
 
+def write_quality_classifier_reference(sf_dir: str) -> str:
+    """Scalar-spec quality-classifier labels (quality_model.score_scalar_qc
+    per doc) — the independent path the vectorized qc_scores must match
+    bit-for-bit, float32 scores included."""
+    stamp = _stamp(sf_dir)
+    hit = _cached("quality_classifier", stamp)
+    if hit:
+        return hit
+    from ..functions.quality_model import score_scalar_qc
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    scores, keeps = [], []
+    for t in docs["text"].to_pylist():
+        s, k = score_scalar_qc(t)
+        scores.append(s)
+        keeps.append(k)
+    tbl = pa.table({
+        "doc_id": docs["doc_id"],
+        "qc_score": pa.array(np.array(scores, dtype=np.float32),
+                             type=pa.float32()),
+        "qc_keep": pa.array(keeps, type=pa.bool_()),
+    })
+    return _write("quality_classifier", tbl, stamp)
+
+
 def write_curation_reference(sf_dir: str, rates: dict | None = None,
                              min_words: int = 10,
                              max_symbol_ratio: float = 0.1,

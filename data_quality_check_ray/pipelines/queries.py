@@ -1771,6 +1771,36 @@ def q_audio_frame_rms(sf_dir: str):
     )
 
 
+def q_quality_classifier(sf_dir: str):
+    """Model-based quality filtering (functions/quality_model): pinned
+    fastText-style hashed word uni+bigram linear classifier, sigmoid
+    score, keep at 0.5 — the DCLM/CCNet-style classifier gate alongside
+    the heuristic rules.  Single map_batches sweep, model table built
+    once per worker (lru_cache), per-word hashing over the UNIQUE word
+    dictionary only.
+
+    Differentially oracle-checked: the pinned scalar spec
+    (quality_model.score_scalar_qc) labels the same corpus row-at-a-time
+    (pipelines/oracle_refs.write_quality_classifier_reference)."""
+    from ..functions.quality_model import qc_scores
+    from .oracle_refs import write_quality_classifier_reference
+
+    write_quality_classifier_reference(sf_dir)
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        scores, keeps = qc_scores(b["text"])
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "qc_score": pa.array(scores, type=pa.float32()),
+            "qc_keep": pa.array(keeps, type=pa.bool_()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 #: BM25 query terms — the SQL oracle's contribution chain adds them in
 #: EXACTLY this order (left-to-right float64 association parity).
 BM25_TERMS = ("join", "window", "hash", "stream")
@@ -1817,6 +1847,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "shuffle_shards": q_shuffle_shards,
     "bm25_topk": q_bm25_topk,
+    "quality_classifier": q_quality_classifier,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -2428,6 +2459,13 @@ ORACLE_SQL = {
         -- differential oracle: Python-int MinHash-LSH clusters
         SELECT doc_id, rep_id, is_dup
         FROM read_parquet('/tmp/dqcr_oracle/minhash_dedup.parquet')
+    """,
+    "quality_classifier": """
+        -- differential oracle: pinned scalar quality-classifier spec
+        -- (pipelines/oracle_refs.write_quality_classifier_reference) —
+        -- the vectorized engine must match bit-for-bit incl. float32
+        SELECT doc_id, qc_score, qc_keep
+        FROM read_parquet('/tmp/dqcr_oracle/quality_classifier.parquet')
     """,
     "langid_documents": """
         -- differential oracle: the pinned scalar spec labeled the same

@@ -24,6 +24,7 @@ CHECKED = [
     "shuffle_shards",
     "chunk_documents",
     "bm25_topk",
+    "quality_classifier",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
