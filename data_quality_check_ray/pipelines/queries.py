@@ -1771,6 +1771,37 @@ def q_audio_frame_rms(sf_dir: str):
     )
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """MassiveText-style cross-document paragraph dedup (first global
+    occurrence wins) over the SAME derived multi-line docs as
+    ``boilerplate_lines`` (shared nav header, body, rotating footer) —
+    contrasting semantics on identical input: C4 removes recurring lines
+    EVERYWHERE, this keeps exactly the (min doc_id, min index) copy."""
+    from ..functions.textstats import as_single_array
+    from ..stages.boilerplate import dedup_paragraphs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        footer = pc.binary_join_element_wise(
+            pa.scalar("footer id ", pa.large_string()),
+            pc.cast(pa.array(ids % 5), pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        text = pc.binary_join_element_wise(
+            pa.scalar("nav menu home", pa.large_string()),
+            pc.cast(as_single_array(b["text"]), pa.large_string()),
+            footer,
+            pa.scalar("\n", pa.large_string()),
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return dedup_paragraphs(ds.map_batches(derive, batch_format="pyarrow"))
+
+
 def q_quality_classifier(sf_dir: str):
     """Model-based quality filtering (functions/quality_model): pinned
     fastText-style hashed word uni+bigram linear classifier, sigmoid
@@ -1848,6 +1879,7 @@ QUERIES = {
     "shuffle_shards": q_shuffle_shards,
     "bm25_topk": q_bm25_topk,
     "quality_classifier": q_quality_classifier,
+    "paragraph_dedup": q_paragraph_dedup,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -2137,6 +2169,30 @@ ORACLE_SQL = {
                count(b.line) AS n_lines_removed
         FROM lines l LEFT JOIN boiler b USING (line)
         GROUP BY l.doc_id
+    """,
+    "paragraph_dedup": """
+        WITH src AS (
+            SELECT doc_id,
+                   'nav menu home' || chr(10) || text || chr(10)
+                   || 'footer id ' || CAST(doc_id % 5 AS VARCHAR) AS t
+            FROM documents
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(t, chr(10))) AS para,
+                   generate_subscripts(regexp_split_to_array(t, chr(10)), 1)
+                       AS ord
+            FROM src
+        ), ranked AS (
+            SELECT doc_id, ord, para,
+                   row_number() OVER (PARTITION BY para
+                                      ORDER BY doc_id, ord) AS rn
+            FROM lines
+        )
+        SELECT doc_id,
+               coalesce(string_agg(para, chr(10) ORDER BY ord)
+                        FILTER (WHERE rn = 1), '') AS text_dedup,
+               count(*) FILTER (WHERE rn > 1) AS n_paras_removed
+        FROM ranked GROUP BY doc_id
     """,
     "fingerprint": """
         SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp

@@ -25,6 +25,7 @@ CHECKED = [
     "chunk_documents",
     "bm25_topk",
     "quality_classifier",
+    "paragraph_dedup",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",
