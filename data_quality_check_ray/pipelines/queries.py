@@ -506,11 +506,15 @@ def q_events_sliding_3h(sf_dir: str):
 
 
 def q_top_users(sf_dir: str):
-    """Top-10 users by event count (sort + limit; deterministic tiebreak)."""
+    """Top-10 users by event count (per-block partial top-k, no
+    distributed sort; deterministic tiebreak)."""
+    from ..stages.topk import global_topk
+
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     agg = ds.groupby("user_id").aggregate(_agg_count("n_events"))
-    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+    return global_topk(
+        agg, [("n_events", "descending"), ("user_id", "ascending")], 10)
 
 
 def q_event_type_distinct(sf_dir: str):

@@ -147,14 +147,8 @@ def bm25_topk(ds, text_col: str, id_col: str, terms: list[str],
               k: int = 10, stats: dict | None = None):
     """Top-k docs by (bm25 desc, id asc): per-block partial top-k
     (k candidate rows per block cross the wire) -> tiny final sort."""
+    from .topk import global_topk
+
     scored = bm25_scores(ds, text_col, id_col, terms, stats=stats)
-
-    def local_topk(b: pa.Table) -> pa.Table:
-        s = b["bm25"].to_numpy(zero_copy_only=False)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -s))[:k]
-        return b.take(pa.array(np.sort(order)))
-
-    return (scored.map_batches(local_topk, batch_format="pyarrow")
-            .sort(["bm25", id_col], descending=[True, False])
-            .limit(k))
+    return global_topk(
+        scored, [("bm25", "descending"), (id_col, "ascending")], k)
