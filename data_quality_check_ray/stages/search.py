@@ -152,3 +152,150 @@ def bm25_topk(ds, text_col: str, id_col: str, terms: list[str],
     scored = bm25_scores(ds, text_col, id_col, terms, stats=stats)
     return global_topk(
         scored, [("bm25", "descending"), (id_col, "ascending")], k)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (full-vocabulary document frequencies)
+# ---------------------------------------------------------------------------
+
+#: pd.util.hash_array keys for the 128-bit term digest (16 bytes each);
+#: must only agree between the df pass and the scoring pass
+_TERM_KEY_LO = "tfidftermlokey00"
+_TERM_KEY_HI = "tfidftermhikey11"
+#: refuse to broadcast a df table larger than this — fail fast instead of
+#: OOMing every scoring task.  Vocabulary grows sublinearly in corpus
+#: size (Heaps' law), so real web-corpus df tables stay broadcastable
+#: long after the corpus itself does not; past the limit, attach df by a
+#: bucketed hash join on the digest (the dedup.dedup_against_prior dual
+#: path) instead of raising.
+DF_BROADCAST_BYTES = 512 << 20
+
+
+def _term_digests(words: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    import pandas as pd
+
+    obj = np.asarray(words.to_numpy(zero_copy_only=False), dtype=object)
+    lo = pd.util.hash_array(obj, hash_key=_TERM_KEY_LO)
+    hi = pd.util.hash_array(obj, hash_key=_TERM_KEY_HI)
+    return lo.astype(np.int64), hi.astype(np.int64)
+
+
+def _doc_term_pairs(b_texts, t_count_guard=None):
+    """batch text col -> (dictionary words, per-pair (doc, code, tf)).
+
+    Tokenization = the module's RE2 spec.  The (doc, code) pair counting
+    runs over dictionary CODES via the shared overflow-guarded
+    pair_unique kernel."""
+    from ..functions.segments import pair_unique
+    from ..functions.textstats import as_single_array
+
+    flat, off = _token_segments(b_texts)
+    n = len(off) - 1
+    nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    dct = as_single_array(flat).dictionary_encode()
+    codes = np.asarray(dct.indices, dtype=np.int64)
+    tok_doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    d, c, tf = pair_unique(tok_doc[nonempty], codes[nonempty],
+                           return_counts=True)
+    return dct.dictionary, d, c, tf
+
+
+def tfidf_doc_frequencies(ds, text_col: str):
+    """-> Dataset(fp_lo, fp_hi, df): corpus-wide document frequency per
+    distinct term digest.  One 24 B/unique-term-per-block shuffle; a doc
+    lives in exactly one block, so per-block distinct (doc, term) counts
+    sum to the global distinct-doc count per term."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        words, _, c, _ = _doc_term_pairs(b[text_col])
+        if len(c) == 0:
+            return pa.table({"fp_lo": pa.array([], type=pa.int64()),
+                             "fp_hi": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        per_code = np.bincount(c, minlength=len(words)).astype(np.int64)
+        lo, hi = _term_digests(words)
+        used = per_code > 0
+        return pa.table({"fp_lo": lo[used], "fp_hi": hi[used],
+                         "df": per_code[used]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["fp_lo", "fp_hi"]).sum("df"))
+
+
+def tfidf_topk_terms(ds, text_col: str, id_col: str, k: int = 3,
+                     n_docs: int | None = None,
+                     broadcast_limit: int = DF_BROADCAST_BYTES):
+    """-> Dataset(id_col, term, tfidf, rank): top-k terms per document by
+    ``tf * ln(N / df)``, ties broken by term byte order.
+
+    Two streaming sweeps (df pass above, scoring pass here) and zero
+    text shuffles; the (digest -> df) table broadcasts once with a
+    fail-fast size guard (see DF_BROADCAST_BYTES).  Scoring is entirely
+    block-local: each doc is one row, so per-doc top-k needs no grouping
+    exchange — the output IS k rows per doc."""
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()  # parquet metadata when called on a fresh read
+    dft = pa.concat_tables(
+        [pa.schema([("fp_lo", pa.int64()), ("fp_hi", pa.int64()),
+                    ("sum(df)", pa.int64())]).empty_table()]
+        + list(tfidf_doc_frequencies(ds, text_col).iter_batches(
+            batch_size=None, batch_format="pyarrow"))
+    )
+    if dft.nbytes > broadcast_limit:
+        raise ValueError(
+            f"df table is {dft.nbytes >> 20} MiB (> {broadcast_limit >> 20}"
+            " MiB broadcast limit): attach df via a bucketed hash join on"
+            " the term digest instead (dedup_against_prior dual-path)")
+    lo = dft["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = dft["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dfv = dft["sum(df)"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((hi, lo))
+    ref = ray.put((lo[order], hi[order], dfv[order], int(n_docs)))
+
+    def score(b: pa.Table) -> pa.Table:
+        slo, shi, sdf, n_total = ray.get(ref)
+        words, d, c, tf = _doc_term_pairs(b[text_col])
+        empty = pa.table({
+            id_col: pa.array([], type=b[id_col].type),
+            "term": pa.array([], type=pa.large_string()),
+            "tfidf": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
+        if len(d) == 0:
+            return empty
+        wlo, whi = _term_digests(words)
+        left = np.searchsorted(slo, wlo, side="left")
+        right = np.searchsorted(slo, wlo, side="right")
+        dfw = np.ones(len(words), dtype=np.int64)  # unmatched: df=1 guard
+        one = (right - left) == 1
+        cand = left[one]
+        hit = shi[cand] == whi[one]
+        dfw[one] = np.where(hit, sdf[cand], 1)
+        for i in np.nonzero(right - left > 1)[0]:  # fp_lo collision: rare
+            js = np.nonzero(shi[left[i]:right[i]] == whi[i])[0]
+            if len(js):
+                dfw[i] = sdf[left[i] + js[0]]
+        idf = np.log(np.float64(n_total) / dfw)
+        s = tf.astype(np.float64) * idf[c]
+        ids = b[id_col].take(pa.array(d))
+        terms = words.take(pa.array(c))
+        t = pa.table({id_col: ids,
+                      "term": pc.cast(terms, pa.large_string()),
+                      "tfidf": pa.array(s, type=pa.float64())})
+        idx = pc.sort_indices(t, sort_keys=[
+            (id_col, "ascending"), ("tfidf", "descending"),
+            ("term", "ascending")])
+        t = t.take(idx)
+        di = t[id_col].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(di[1:] != di[:-1]) + 1])
+        runs = np.diff(np.concatenate([starts, [len(di)]]))
+        pos = np.arange(len(di)) - np.repeat(starts, runs)
+        keep = pos < k
+        return t.filter(pa.array(keep)).append_column(
+            "rank", pa.array(pos[keep] + 1, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
