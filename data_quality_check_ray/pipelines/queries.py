@@ -1775,6 +1775,30 @@ def q_audio_frame_rms(sf_dir: str):
     )
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (stages/search.tfidf_topk_terms):
+    full-vocabulary document frequencies via one 24 B/unique-term-per-block
+    digest shuffle, (digest -> df) broadcast once, scoring block-local."""
+    from ..stages.search import tfidf_topk_terms
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = tfidf_topk_terms(ds, "text", "doc_id", k=3)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "term": b["term"],
+            "tfidf": pa.array(_round_half_away(
+                b["tfidf"].to_numpy(zero_copy_only=False), 4),
+                type=pa.float64()),
+            "rank": b["rank"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_paragraph_dedup(sf_dir: str):
     """MassiveText-style cross-document paragraph dedup (first global
     occurrence wins) over the SAME derived multi-line docs as
@@ -1884,6 +1908,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "quality_classifier": q_quality_classifier,
     "paragraph_dedup": q_paragraph_dedup,
+    "tfidf_keywords": q_tfidf_keywords,
     "fingerprint": q_fingerprint,
     "quality_stats": q_quality_stats,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -2173,6 +2198,36 @@ ORACLE_SQL = {
                count(b.line) AS n_lines_removed
         FROM lines l LEFT JOIN boiler b USING (line)
         GROUP BY l.doc_id
+    """,
+    # TF-IDF: same RE2 tokenization as bm25; score = tf * ln(N/df), one
+    # int64*double multiply per pair -> bit-comparable before round(4)
+    "tfidf_keywords": """
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS parts
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, t.tok FROM base, UNNEST(parts) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+               GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS s
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, tok, s,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, tok) AS rn
+          FROM scored
+        )
+        SELECT doc_id, tok AS term, round(s, 4) AS tfidf, rn AS rank
+        FROM ranked WHERE rn <= 3
     """,
     "paragraph_dedup": """
         WITH src AS (

@@ -119,11 +119,16 @@ def bm25_scores(ds, text_col: str, id_col: str, terms: list[str],
     if stats is None:
         stats = corpus_stats(ds, text_col, terms)
     n_docs = stats["n_docs"]
-    df = stats["df"].astype(np.float64)
     # avgdl and idf computed ONCE from the same integer stats the oracle
-    # aggregates, with the oracle's exact expression shapes
+    # aggregates, with the oracle's exact expression shapes.  math.log,
+    # not np.log: numpy's SIMD log differs from libm by 1 ulp on some
+    # inputs, and DuckDB's ln IS libm
+    import math
+
     avgdl = float(stats["sum_dl"]) / n_docs if n_docs else 1.0
-    idf = np.log(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+    idf = np.array([
+        math.log(1.0 + ((n_docs - float(d)) + 0.5) / (float(d) + 0.5))
+        for d in stats["df"]], dtype=np.float64)
     bcast = ray.put((list(terms), idf, avgdl))
 
     def score(b: pa.Table) -> pa.Table:
@@ -278,7 +283,14 @@ def tfidf_topk_terms(ds, text_col: str, id_col: str, k: int = 3,
             js = np.nonzero(shi[left[i]:right[i]] == whi[i])[0]
             if len(js):
                 dfw[i] = sdf[left[i] + js[0]]
-        idf = np.log(np.float64(n_total) / dfw)
+        # libm log per UNIQUE df value (numpy's SIMD log is 1 ulp off
+        # libm on some inputs; DuckDB's ln is libm) — distinct df values
+        # are at most n_docs, in practice a handful per batch
+        import math
+
+        u, inv = np.unique(dfw, return_inverse=True)
+        idf = np.array([math.log(n_total / int(x)) for x in u],
+                       dtype=np.float64)[inv]
         s = tf.astype(np.float64) * idf[c]
         ids = b[id_col].take(pa.array(d))
         terms = words.take(pa.array(c))

@@ -26,6 +26,7 @@ CHECKED = [
     "bm25_topk",
     "quality_classifier",
     "paragraph_dedup",
+    "tfidf_keywords",
     "fingerprint",
     "quality_stats",
     "pii_scrub_documents",

@@ -99,3 +99,54 @@ def test_no_query_terms_scores_zero(quiet_data_context):
 def test_topk_k_larger_than_corpus(quiet_data_context, k):
     top = bm25_topk(_ds(["join", "x"]), "text", "doc_id", TERMS, k=k)
     assert len(top.to_pandas()) == min(k, 2)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+def _ref_tfidf(texts, k=3):
+    toks = [(t or "").lower().split() for t in texts]
+    n = len(texts)
+    vocab = {w for x in toks for w in x}
+    df = {w: sum(1 for x in toks if w in x) for w in vocab}
+    rows = []
+    for i, x in enumerate(toks):
+        scored = sorted(
+            ((c * math.log(n / df[w]), w)
+             for w, c in {w: x.count(w) for w in set(x)}.items()),
+            key=lambda p: (-p[0], p[1]))
+        for r, (s, w) in enumerate(scored[:k], 1):
+            rows.append((i, w, s, r))
+    return rows
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_tfidf_matches_scalar_reference(quiet_data_context, parallelism):
+    from data_quality_check_ray.stages.search import tfidf_topk_terms
+
+    texts = ["common rare alpha", "common beta beta", "common", "", None,
+             "rare rare zeta common"]
+    got = (tfidf_topk_terms(_ds(texts, parallelism), "text", "doc_id", k=3)
+           .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    exp = _ref_tfidf(texts, 3)
+    assert len(got) == len(exp)
+    for row, (i, w, s, r) in zip(got.itertuples(index=False), exp):
+        assert (row.doc_id, row.term, row.rank) == (i, w, r)
+        assert row.tfidf == s  # bit-exact: one int*double multiply
+
+
+def test_tfidf_empty_and_null_docs_yield_no_rows(quiet_data_context):
+    from data_quality_check_ray.stages.search import tfidf_topk_terms
+
+    got = tfidf_topk_terms(_ds(["", None, "   "]), "text", "doc_id",
+                           k=3).to_pandas()
+    assert len(got) == 0
+
+
+def test_tfidf_df_broadcast_guard(quiet_data_context):
+    from data_quality_check_ray.stages.search import tfidf_topk_terms
+
+    with pytest.raises(ValueError, match="broadcast limit"):
+        tfidf_topk_terms(_ds(["a b c d e"]), "text", "doc_id",
+                         broadcast_limit=0).to_pandas()
