@@ -299,6 +299,19 @@ def q_decontaminate(sf_dir: str):
     return flag_contaminated(train, ev, text_col="text", id_col="doc_id", k=5)
 
 
+def q_dup_ngram_spans(sf_dir: str):
+    """Cross-document duplicate 5-gram span fractions (stages/decontam
+    .dup_span_stats, the Lee et al. 2022 substring-dedup measure): for
+    each doc, how many of its 5-gram windows occur in at least one OTHER
+    doc.  One 16 B/unique-gram digest shuffle + one broadcast; the text
+    never moves."""
+    from ..stages.decontam import dup_span_stats
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_span_stats(ds, text_col="text", id_col="doc_id", k=5)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (stages/packing): map every doc to its training
     context windows (seq_len=512) via a distributed prefix sum over
@@ -1900,6 +1913,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "boilerplate_lines": q_boilerplate_lines,
     "decontaminate": q_decontaminate,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
@@ -2099,6 +2113,30 @@ ORACLE_SQL = {
                coalesce(h.n, 0) AS n_contaminated,
                coalesce(h.n, 0) > 0 AS contaminated
         FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """,
+    "dup_ngram_spans": """
+        -- same 5-gram identity as decontaminate (lower + single-space
+        -- split); a gram is "shared" when >= 2 DISTINCT docs contain it
+        WITH d AS (SELECT doc_id,
+                          string_split(coalesce(lower(text), ''), ' ') AS ws
+                   FROM documents),
+             tg AS (SELECT doc_id,
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                    FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             sh AS (SELECT g FROM tg GROUP BY g
+                    HAVING count(DISTINCT doc_id) >= 2),
+             per AS (SELECT tg.doc_id,
+                            CAST(count(*) AS BIGINT) AS n_grams,
+                            CAST(count(s.g) AS BIGINT) AS n_dup
+                     FROM tg LEFT JOIN sh s ON tg.g = s.g
+                     GROUP BY tg.doc_id)
+        SELECT d0.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_dup, 0) AS n_dup,
+               CASE WHEN p.n_grams IS NULL OR p.n_grams = 0 THEN 0.0
+                    ELSE CAST(p.n_dup AS DOUBLE) / p.n_grams END AS dup_frac
+        FROM documents d0 LEFT JOIN per p USING (doc_id)
     """,
     "pack_sequences": """
         -- same whitespace tokenizer as token_counts; global prefix sum in

@@ -124,3 +124,96 @@ def flag_contaminated(ds, eval_hashes: np.ndarray, text_col: str = "text",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 5, broadcast_limit: int = EVAL_BROADCAST_BYTES):
+    """Cross-document duplicate n-gram span statistics (the flag/measure
+    half of the Lee et al. 2022 "Deduplicating Training Data" substring
+    recipe, recast for Ray Data) -> Dataset(id_col, n_grams, n_dup,
+    dup_frac).
+
+    For every doc: ``n_grams`` = its k-gram window count, ``n_dup`` = how
+    many of those windows also occur in AT LEAST ONE OTHER document (so
+    intra-doc repetition — already covered by the Gopher rules — does not
+    inflate it), ``dup_frac`` = n_dup / n_grams (0.0 for docs shorter
+    than k words).  Downstream curation drops or trims docs above a
+    dup_frac threshold.
+
+    Shape: two streaming passes over the text plus ONE shuffle of
+    (gram-digest, partial-distinct-doc-count) int64 pairs — 16 bytes per
+    unique gram per block; the text itself never shuffles:
+
+      count   [map_batches]  per block: shingle digests via the shared
+              ``_shingle_hash_rows`` kernel, then UNIQUE (digest, doc)
+              pairs -> per-digest distinct-doc partials (docs never span
+              blocks, so partials sum exactly)
+      merge   [groupby.sum]  global distinct-doc count per digest; keep
+              digests seen in >= 2 docs
+      scan    [map_batches]  broadcast the shared-digest set once
+              (``ray.put``), searchsorted membership, per-doc
+              occurrence fractions via bincount
+
+    Partitioning assumption (per the engine's custom-operator rule): the
+    shared-gram set fits one worker's heap.  True when duplication is
+    the exception (the case worth measuring); a heavily duplicated
+    corpus trips the fail-fast guard, and the scale path is then to run
+    ``dedup_exact``/``minhash_dedup`` FIRST — or replace the broadcast
+    with a digest-bucketed membership join at one extra shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, rows, _ = _shingle_hash_rows(b[text_col], k)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # unique (digest, owning-doc) pairs, then docs per digest
+        order = np.lexsort((rows, h))
+        hs, rs = h[order], rows[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        uniq, ndocs = np.unique(hs[first], return_counts=True)
+        return pa.table({"h": uniq, "n": ndocs.astype(np.int64)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    shared_parts = [
+        p["h"].to_numpy(zero_copy_only=False)
+        for p in counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    shared = (np.sort(np.concatenate(shared_parts))
+              if shared_parts else np.array([], dtype=np.int64))
+    if shared.nbytes > broadcast_limit:
+        raise ValueError(
+            f"shared n-gram set is {shared.nbytes >> 20} MiB (> "
+            f"{broadcast_limit >> 20} MiB): corpus is dominated by "
+            "cross-doc duplication — exact/minhash-dedup it first, or "
+            "switch to the bucketed-join membership path"
+        )
+    ref = ray.put(shared)
+
+    def scan(b: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        h, rows, n_rows = _shingle_hash_rows(b[text_col], k)
+        total = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        if len(h) and len(sh):
+            pos = np.searchsorted(sh, h)
+            pos[pos == len(sh)] = 0
+            hit = sh[pos] == h
+            dup = np.bincount(rows[hit], minlength=n_rows).astype(np.int64)
+        else:
+            dup = np.zeros(n_rows, dtype=np.int64)
+        frac = np.where(total > 0, dup / np.maximum(total, 1), 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(total),
+            "n_dup": pa.array(dup),
+            "dup_frac": pa.array(frac),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

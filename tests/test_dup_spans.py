@@ -1,0 +1,95 @@
+"""Cross-document duplicate n-gram span stats (stages/decontam.dup_span_stats)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from data_quality_check_ray.stages.decontam import dup_span_stats
+
+
+DOCS = [
+    # docs 0 and 1 share the 5-gram run "alpha beta gamma delta epsilon zeta"
+    # (two overlapping shared 5-grams each)
+    {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta unique tail zero"},
+    {"doc_id": 1, "text": "lead one alpha beta gamma delta epsilon zeta"},
+    # doc 2 repeats ITS OWN 5-gram twice but shares nothing cross-doc:
+    # intra-doc repetition must not count
+    {"doc_id": 2, "text": ("solo aa bb cc dd ee xx solo aa bb cc dd ee")},
+    # clean doc, no overlap
+    {"doc_id": 3, "text": "completely different words in this document here"},
+    # shorter than k words -> 0 grams, frac 0.0
+    {"doc_id": 4, "text": "tiny doc"},
+    {"doc_id": 5, "text": ""},
+    {"doc_id": 6, "text": None},
+]
+
+
+def _scalar_reference(rows, k=5):
+    """Row-at-a-time reference: shared gram = in >= 2 distinct docs."""
+    grams = {}  # gram -> set(doc_id)
+    per_doc = {}
+    for r in rows:
+        ws = ((r["text"] or "").lower()).split(" ")
+        gs = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        per_doc[r["doc_id"]] = gs
+        for g in set(gs):
+            grams.setdefault(g, set()).add(r["doc_id"])
+    out = {}
+    for did, gs in per_doc.items():
+        n = len(gs)
+        d = sum(1 for g in gs if len(grams[g]) >= 2)
+        out[did] = (n, d, (d / n) if n else 0.0)
+    return out
+
+
+def _run(rows, k=5, nblocks=1, **kw):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    if nblocks > 1:
+        ds = ds.repartition(nblocks)
+    return (dup_span_stats(ds, k=k, **kw)
+            .to_pandas().set_index("doc_id").sort_index())
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_matches_scalar_reference_any_partitioning(quiet_data_context, nblocks):
+    out = _run(DOCS, nblocks=nblocks)
+    ref = _scalar_reference(DOCS)
+    for did, (n, d, f) in ref.items():
+        assert out.loc[did, "n_grams"] == n
+        assert out.loc[did, "n_dup"] == d, f"doc {did}"
+        assert out.loc[did, "dup_frac"] == pytest.approx(f)
+
+
+def test_intra_doc_repetition_not_counted(quiet_data_context):
+    out = _run(DOCS)
+    # doc 2's repeated run is unique to doc 2 -> zero cross-doc dup spans
+    assert out.loc[2, "n_dup"] == 0
+    assert out.loc[2, "dup_frac"] == 0.0
+    # but the same run split across TWO docs does count
+    assert out.loc[0, "n_dup"] == 2 and out.loc[1, "n_dup"] == 2
+
+
+def test_short_empty_null_docs(quiet_data_context):
+    out = _run(DOCS)
+    for did in (4, 5, 6):
+        assert out.loc[did, "n_grams"] == 0
+        assert out.loc[did, "n_dup"] == 0
+        assert out.loc[did, "dup_frac"] == 0.0
+
+
+def test_exact_duplicate_docs_fully_flagged(quiet_data_context):
+    rows = [{"doc_id": i, "text": "one two three four five six seven"}
+            for i in range(3)]
+    out = _run(rows)
+    assert (out["n_grams"] == 3).all()
+    assert (out["dup_frac"] == 1.0).all()
+
+
+def test_broadcast_limit_guard(quiet_data_context):
+    rows = [{"doc_id": i, "text": "a b c d e f g h i j"} for i in range(2)]
+    with pytest.raises(ValueError, match="shared n-gram set"):
+        _run(rows, broadcast_limit=8)

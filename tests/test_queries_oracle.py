@@ -18,6 +18,7 @@ CHECKED = [
     "dedup_incremental",
     "boilerplate_lines",
     "decontaminate",
+    "dup_ngram_spans",
     "pack_sequences",
     "kmeans_embeddings",
     "semdedup",
