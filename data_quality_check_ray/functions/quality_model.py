@@ -149,10 +149,13 @@ def _hash_dictionary(dictionary: pa.Array) -> np.ndarray:
     return h
 
 
-def qc_scores(texts: pa.ChunkedArray | pa.Array
-              ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized batch scorer -> (qc_score f32[n], qc_keep bool[n])."""
-    w = build_qc_weights()
+def featurize_batch(texts: pa.ChunkedArray | pa.Array):
+    """Shared vectorized featurization -> (uni, woff, big, boff).
+
+    ``uni``/``big`` are hashed feature ids (token order preserved),
+    ``woff``/``boff`` the per-doc segment offsets into them.  Used by
+    ``qc_scores`` and by the DSIR stage (stages/dsir.py) so both share
+    one pinned feature identity."""
     arr = as_single_array(texts)
     arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
     # split FIRST, lower the unique-word DICTIONARY after (the tokenize()
@@ -186,8 +189,16 @@ def qc_scores(texts: pa.ChunkedArray | pa.Array
         big = np.empty(0, dtype=np.int64)
     n_big = np.maximum(n_words - 1, 0)
     boff = np.concatenate([[0], np.cumsum(n_big)]).astype(np.int64)
+    return uni, woff.astype(np.int64), big, boff
 
-    s_uni = segment_sum_sequential32(w[uni], woff.astype(np.int64))
+
+def qc_scores(texts: pa.ChunkedArray | pa.Array
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch scorer -> (qc_score f32[n], qc_keep bool[n])."""
+    w = build_qc_weights()
+    uni, woff, big, boff = featurize_batch(texts)
+    n_words, n_big = np.diff(woff), np.diff(boff)
+    s_uni = segment_sum_sequential32(w[uni], woff)
     s_big = segment_sum_sequential32(w[big], boff)
     total32 = s_uni.astype(np.float32) + s_big.astype(np.float32)
     return _score_from_sums(total32, n_words + n_big)

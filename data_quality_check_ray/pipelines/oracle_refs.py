@@ -149,6 +149,54 @@ def write_quality_classifier_reference(sf_dir: str) -> str:
     return _write("quality_classifier", tbl, stamp)
 
 
+def write_dsir_reference(sf_dir: str, target_mod: int = 31) -> str:
+    """Scalar-spec DSIR selection labels: counts, lambda, and per-doc
+    logw all from the row-at-a-time path (stages/dsir.dsir_logw_scalar;
+    integer counts are exact in any order, lambda is the same float64
+    formula, logw the same op order) — the independent second path the
+    vectorized dsir_weights must match bit-for-bit."""
+    stamp = _stamp(sf_dir, (target_mod, "centered-cut"))
+    hit = _cached("dsir_select", stamp)
+    if hit:
+        return hit
+    from ..functions.quality_model import (
+        B, BIGRAM_MULT, lower_simple, word_bucket_scalar)
+    from ..stages.dsir import dsir_center, dsir_lambda, dsir_logw_scalar
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    texts = docs["text"].to_pylist()
+
+    def counts(rows):
+        c = np.zeros(B, dtype=np.int64)
+        for t in rows:
+            uni = np.array([word_bucket_scalar(lower_simple(w))
+                            for w in (t or "").split()], dtype=np.int64)
+            np.add.at(c, uni, 1)
+            if len(uni) > 1:
+                np.add.at(c, (uni[:-1] * BIGRAM_MULT + uni[1:]) % B, 1)
+        return c
+
+    tgt = counts(t for i, t in zip(ids, texts) if i % target_mod == 0)
+    raw = counts(texts)
+    lam = dsir_lambda(tgt, raw)
+    mu = dsir_center(raw, lam)
+    lws, nfs, sels = [], [], []
+    for t in texts:
+        lw, nf = dsir_logw_scalar(t, lam)
+        lws.append(lw)
+        nfs.append(nf)
+        sels.append(bool(lw > mu * np.float64(nf)) and nf > 0)
+    tbl = pa.table({
+        "doc_id": docs["doc_id"],
+        "n_features": pa.array(np.array(nfs, dtype=np.int64)),
+        "dsir_logw": pa.array(np.array(lws, dtype=np.float64)),
+        "selected": pa.array(sels, type=pa.bool_()),
+    })
+    return _write("dsir_select", tbl, stamp)
+
+
 def write_curation_reference(sf_dir: str, rates: dict | None = None,
                              min_words: int = 10,
                              max_symbol_ratio: float = 0.1,

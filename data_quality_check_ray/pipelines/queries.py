@@ -312,6 +312,34 @@ def q_dup_ngram_spans(sf_dir: str):
     return dup_span_stats(ds, text_col="text", id_col="doc_id", k=5)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (stages/dsir, Xie et al. 2023): docs with
+    doc_id % 31 == 0 play the in-domain target sample; every doc gets a
+    hashed-n-gram log importance ratio and a selected flag.  Two
+    streaming count passes + one scoring pass, ZERO shuffles.
+
+    Differentially oracle-checked: the scalar spec re-derives counts,
+    lambda, and per-doc logw row-at-a-time into a parquet the oracle SQL
+    reads (oracle_refs.write_dsir_reference), float64 bit-exact."""
+    from ..stages.dsir import dsir_lambda, dsir_weights, hashed_feature_counts
+    from .oracle_refs import write_dsir_reference
+
+    write_dsir_reference(sf_dir, target_mod=31)
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def target_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 31 == 0))
+
+    tgt = hashed_feature_counts(
+        ds.map_batches(target_only, batch_format="pyarrow"))
+    raw = hashed_feature_counts(ds)
+    lam = dsir_lambda(tgt, raw)
+    from ..stages.dsir import dsir_center
+    return dsir_weights(ds, lam, center=dsir_center(raw, lam))
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (stages/packing): map every doc to its training
     context windows (seq_len=512) via a distributed prefix sum over
@@ -1914,6 +1942,7 @@ QUERIES = {
     "boilerplate_lines": q_boilerplate_lines,
     "decontaminate": q_decontaminate,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "dsir_select": q_dsir_select,
     "pack_sequences": q_pack_sequences,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semdedup": q_semdedup,
@@ -2619,6 +2648,13 @@ ORACLE_SQL = {
         -- the vectorized engine must match bit-for-bit incl. float32
         SELECT doc_id, qc_score, qc_keep
         FROM read_parquet('/tmp/dqcr_oracle/quality_classifier.parquet')
+    """,
+    "dsir_select": """
+        -- differential oracle: scalar-spec DSIR counts/lambda/logw
+        -- re-derived row-at-a-time (pipelines/oracle_refs) — the
+        -- vectorized engine must match bit-for-bit, float64 logw included
+        SELECT doc_id, n_features, dsir_logw, selected
+        FROM read_parquet('/tmp/dqcr_oracle/dsir_select.parquet')
     """,
     "langid_documents": """
         -- differential oracle: the pinned scalar spec labeled the same

@@ -1,0 +1,154 @@
+"""DSIR data selection (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling") as Ray Data stages.
+
+DSIR scores every raw-corpus document by the log importance ratio of a
+small in-domain TARGET distribution to the RAW distribution, both
+modeled as bag-of-hashed-n-grams multinomials:
+
+    logw(doc) = sum_f  log p_target(f) - log p_raw(f)
+
+over the doc's hashed word uni+bigram feature OCCURRENCES.  Documents
+with high logw look like the target domain; selection keeps logw > 0
+(equal odds) — the paper's Gumbel resampling drops in by adding noise
+to logw before the cut, which would break determinism here for no
+test value.
+
+Feature identity is quality_model's pinned featurization
+(``featurize_batch``: SIMPLE-lowercased whitespace tokens, byte-wise
+polynomial hash mod B=2^16, adjacent-pair bigrams) — one shared kernel,
+one shared scalar spec lineage.
+
+Shape — ZERO shuffles end to end:
+
+    count   [map_batches + driver fold]  per-block sparse bincount of
+            feature ids -> (B,) int64 fold on the driver (B = 65,536:
+            the fold is 512 KiB per partial, kmeans-centroid-sized)
+    lambda  [driver]  smoothed log-ratio table, float64, computed once
+    score   [map_batches]  broadcast lambda via ``ray.put`` once; per
+            doc logw = sequential per-segment float64 sum of
+            lambda[uni] plus the same over bigrams (identical op order
+            to the scalar spec ``dsir_logw_scalar``)
+
+The raw side's counts at 100 TB are one streaming pass producing one
+512 KiB vector per block — no shuffle, no materialization; counts fold
+associatively so a tree-combine drops in if the driver fold ever
+bottlenecks (same note as functions/lm.train_tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.quality_model import (
+    B,
+    BIGRAM_MULT,
+    featurize_batch,
+    lower_simple,
+    word_bucket_scalar,
+)
+from ..functions.segments import segment_sum_sequential
+
+#: Laplace smoothing mass per bucket (paper's add-alpha on the hashed
+#: multinomial; keeps log() finite for buckets unseen on either side)
+ALPHA = 1.0
+
+
+def hashed_feature_counts(ds, text_col: str = "text") -> np.ndarray:
+    """One streaming pass -> (B,) int64 occurrence counts of the corpus's
+    hashed uni+bigram features."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        uni, _, big, _ = featurize_batch(b[text_col])
+        c = np.bincount(uni, minlength=B)
+        if len(big):
+            c += np.bincount(big, minlength=B)
+        nz = np.flatnonzero(c)
+        return pa.table({"b": nz.astype(np.int64), "n": c[nz]})
+
+    total = np.zeros(B, dtype=np.int64)
+    for p in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        np.add.at(total, p["b"].to_numpy(zero_copy_only=False),
+                  p["n"].to_numpy(zero_copy_only=False))
+    return total
+
+
+def dsir_lambda(target_counts: np.ndarray, raw_counts: np.ndarray,
+                alpha: float = ALPHA) -> np.ndarray:
+    """Smoothed per-bucket log importance ratios -> (B,) float64.
+
+    lambda_b = log((t_b + a) / (T + aB)) - log((r_b + a) / (R + aB))."""
+    t = target_counts.astype(np.float64)
+    r = raw_counts.astype(np.float64)
+    lt = np.log(t + alpha) - np.log(t.sum() + alpha * B)
+    lr = np.log(r + alpha) - np.log(r.sum() + alpha * B)
+    return lt - lr
+
+
+def dsir_center(raw_counts: np.ndarray, lam: np.ndarray) -> float:
+    """Raw-expected per-feature log ratio  mu = E_raw[lambda]  — the
+    selection baseline.
+
+    With alpha-smoothing and a target sample far smaller than the raw
+    corpus, E_raw[lambda] is strictly negative even when the two
+    distributions are IDENTICAL (the smoothing mass spreads the tiny
+    target total over all B buckets), so a fixed logw > 0 cut selects
+    nothing.  Centering by mu removes exactly that bias: a doc is
+    selected iff its features are more target-like than the raw-corpus
+    AVERAGE (logw > mu * n_features).  Computed on the driver from the
+    two count vectors — no extra data pass; the scalar spec calls this
+    same function, so engine and spec share every float64 op."""
+    total = raw_counts.sum()
+    if total == 0:
+        return 0.0
+    return float((raw_counts.astype(np.float64) * lam).sum() / total)
+
+
+def dsir_logw_scalar(text: str | None, lam: np.ndarray) -> tuple[float, int]:
+    """Pinned scalar spec: one doc -> (logw float64, n_features).
+
+    Same feature identity and float64 op order as the vectorized path
+    (reduceat over a single segment == segment_sum_sequential's per-
+    segment accumulation): unigram sum, then bigram sum, then one add."""
+    toks = [lower_simple(t) for t in (text or "").split()]
+    uni = np.array([word_bucket_scalar(t) for t in toks], dtype=np.int64)
+    big = ((uni[:-1] * BIGRAM_MULT + uni[1:]) % B if len(uni) > 1
+           else np.empty(0, dtype=np.int64))
+    s_uni = (np.add.reduceat(lam[uni], np.array([0]))[0] if len(uni)
+             else np.float64(0.0))
+    s_big = (np.add.reduceat(lam[big], np.array([0]))[0] if len(big)
+             else np.float64(0.0))
+    return float(s_uni + s_big), int(len(uni) + len(big))
+
+
+def dsir_weights(ds, lam: np.ndarray, text_col: str = "text",
+                 id_col: str = "doc_id", center: float = 0.0):
+    """Score every doc -> Dataset(id_col, n_features, dsir_logw, selected).
+
+    ``lam`` (from ``dsir_lambda``) ships via ``ray.put`` once; docs with
+    zero features get logw 0.0 and are never selected.  ``selected`` is
+    logw > center * n_features (pass ``dsir_center(raw_counts, lam)``
+    to cut at the raw-corpus average; 0.0 = the paper's equal-odds
+    cut)."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(lam, dtype=np.float64))
+    mu = float(center)
+
+    def score(b: pa.Table) -> pa.Table:
+        lt = ray.get(ref)
+        uni, woff, big, boff = featurize_batch(b[text_col])
+        logw = (segment_sum_sequential(lt[uni], woff)
+                + segment_sum_sequential(lt[big], boff))
+        n_feat = np.diff(woff) + np.diff(boff)
+        return pa.table({
+            id_col: b[id_col],
+            "n_features": pa.array(n_feat.astype(np.int64)),
+            "dsir_logw": pa.array(logw),
+            "selected": pa.array(
+                (logw > mu * n_feat.astype(np.float64)) & (n_feat > 0)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -19,6 +19,7 @@ CHECKED = [
     "boilerplate_lines",
     "decontaminate",
     "dup_ngram_spans",
+    "dsir_select",
     "pack_sequences",
     "kmeans_embeddings",
     "semdedup",
