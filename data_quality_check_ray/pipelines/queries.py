@@ -1438,6 +1438,20 @@ def q_host_topk(sf_dir: str):
     return host_counts(pages_from_documents(sf_dir), top_k=5)
 
 
+def q_host_cap(sf_dir: str):
+    """Per-host quota sampling (pipelines/reports.host_cap): keep at most
+    20 pages per host, chosen by a seeded deterministic url hash — the
+    Common-Crawl giant-host cap.  Grouped-top-k decomposition ascending:
+    block-local caps then one bounded combine; no wide shuffle, no text
+    movement.  md5 mode for bitwise oracle parity (fast mode is the
+    production path, tested equivalent up to key choice)."""
+    from ..sources.pages import pages_from_documents
+    from .reports import host_cap
+
+    return host_cap(pages_from_documents(sf_dir), cap=20, seed=17,
+                    mode="md5")
+
+
 def q_bigram_counts(sf_dir: str):
     """Top-100 word bigrams by frequency — the counting core of n-gram LM
     training (functions/lm.train_tables uses the same kernel with hashed
@@ -1991,6 +2005,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "host_topk": q_host_topk,
+    "host_cap": q_host_cap,
 }
 
 def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
@@ -2668,6 +2683,25 @@ ORACLE_SQL = {
         -- (pipelines/oracle_refs.write_curation_reference)
         SELECT doc_id, lang, keep, drop_reason
         FROM read_parquet('/tmp/dqcr_oracle/curation_pipeline.parquet')
+    """,
+    "host_cap": """
+        -- pages are a deterministic function of documents (see host_topk);
+        -- the engine extracts host from the url and ranks by
+        -- md5(url || ':17'), the oracle recomputes both from the
+        -- construction
+        WITH p AS (
+            SELECT source || '.docs.example.org' AS host,
+                   'https://' || source || '.docs.example.org/'
+                       || CAST(doc_id AS VARCHAR) AS url
+            FROM documents),
+        r AS (
+            SELECT host, url,
+                   CAST(row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY md5(url || ':17'), url) - 1 AS BIGINT)
+                       AS host_rank
+            FROM p)
+        SELECT host, url, host_rank FROM r WHERE host_rank < 20
     """,
     "host_topk": """
         -- pages are a deterministic function of documents

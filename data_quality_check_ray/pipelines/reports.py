@@ -58,6 +58,82 @@ def host_counts(pages_ds, top_k: int | None = None):
     return final.sort(["n_pages", "host"], descending=[True, False])
 
 
+def _cap_smallest_per_group(t: pa.Table, group_col: str, key_col: str,
+                            tiebreak_col: str, cap: int) -> pa.Table:
+    """Keep each group's ``cap`` smallest (key, tiebreak) rows — the
+    ascending twin of queries._topk_per_group (one lexsort + run-position
+    mask, no per-group Python)."""
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    i = t[tiebreak_col].to_numpy(zero_copy_only=False)
+    _, ginv = np.unique(g, return_inverse=True)
+    order = np.lexsort((i, k, ginv))
+    gi = ginv[order]
+    starts = np.concatenate([[0], np.flatnonzero(gi[1:] != gi[:-1]) + 1])
+    pos = np.arange(len(gi)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(gi)]])))
+    kept = order[pos < cap]
+    return t.take(pa.array(kept)).append_column(
+        "host_rank", pa.array(pos[pos < cap].astype(np.int64)))
+
+
+def host_cap(pages_ds, cap: int = 20, seed: int = 17, mode: str = "fast"):
+    """Per-host document quota (the Common-Crawl curation practice of
+    capping giant hosts so no single site dominates the training mix) ->
+    Dataset(host, url, host_rank): the <= ``cap`` pages kept per host,
+    ranked by a seeded deterministic hash of the url.
+
+    Distributed shape = the grouped-top-k decomposition, ascending: each
+    block keeps its cap-smallest (key, url) rows per host (a global
+    cap-smallest set is contained in the union of block-wise ones), one
+    bounded combine (<= hosts x blocks x cap candidate rows) assigns the
+    global rank.  No text moves and there is NO wide shuffle — the skew
+    a giant host would inject into a groupby(host) never materializes
+    because every block pre-truncates it to ``cap`` rows.
+
+    ``mode="md5"`` ranks by DuckDB-compatible ``md5(url || ':' || seed)``
+    (per-row hashlib — oracle parity only); ``mode="fast"`` is the
+    vectorized 63-bit hash for production."""
+    from .queries import _partial_combine
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        url = batch["url"].combine_chunks() if isinstance(
+            batch["url"], pa.ChunkedArray) else batch["url"]
+        h = pc.struct_field(pc.extract_regex(url, _HOST_RE), "h")
+        if mode == "md5":
+            from ..stages.dedup import md5_hex
+
+            salted = pc.binary_join_element_wise(
+                pc.cast(url, pa.large_string()),
+                pa.scalar(f":{seed}", pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+            key = pa.array(md5_hex(salted), type=pa.string())
+        else:
+            import pandas as pd
+
+            # the seed must enter the HASH, not be added after (a
+            # post-hash offset shifts every key uniformly and never
+            # changes the per-host ordering)
+            hv = pd.util.hash_array(
+                url.to_numpy(zero_copy_only=False).astype(object),
+                hash_key=f"{seed & ((1 << 64) - 1):016x}",
+            )
+            key = pa.array((hv >> np.uint64(1)).astype(np.int64))
+        return pa.table({"host": h, "url": pc.cast(url, pa.string()),
+                         "key": key})
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _cap_smallest_per_group(keyed(b), "host", "key", "url", cap)
+
+    def combine(b: pa.Table) -> pa.Table:
+        out = _cap_smallest_per_group(
+            b.drop_columns(["host_rank"]), "host", "key", "url", cap)
+        return out.select(["host", "url", "host_rank"])
+
+    return _partial_combine(pages_ds, partial, combine)
+
+
 def drop_reason_report(labeled_ds):
     """Labeled Dataset -> counts per drop_reason (the engine's analog of
     the reference's dimensioned request counter, metrics.rs:17-21)."""

@@ -48,6 +48,7 @@ CHECKED = [
     "supplier_stats",
     "part_size_median",
     "host_topk",
+    "host_cap",
     # differential oracles (scalar-spec reference parquet, oracle_refs.py)
     "langid_documents",
     "curation_pipeline",
