@@ -321,22 +321,19 @@ def q_dsir_select(sf_dir: str):
     Differentially oracle-checked: the scalar spec re-derives counts,
     lambda, and per-doc logw row-at-a-time into a parquet the oracle SQL
     reads (oracle_refs.write_dsir_reference), float64 bit-exact."""
-    from ..stages.dsir import dsir_lambda, dsir_weights, hashed_feature_counts
+    from ..stages.dsir import (
+        dsir_center, dsir_lambda, dsir_weights, hashed_feature_counts_split)
     from .oracle_refs import write_dsir_reference
 
     write_dsir_reference(sf_dir, target_mod=31)
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def target_only(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % 31 == 0))
+    def is_target(b: pa.Table):
+        return b["doc_id"].to_numpy(zero_copy_only=False) % 31 == 0
 
-    tgt = hashed_feature_counts(
-        ds.map_batches(target_only, batch_format="pyarrow"))
-    raw = hashed_feature_counts(ds)
+    tgt, raw = hashed_feature_counts_split(ds, is_target)
     lam = dsir_lambda(tgt, raw)
-    from ..stages.dsir import dsir_center
     return dsir_weights(ds, lam, center=dsir_center(raw, lam))
 
 

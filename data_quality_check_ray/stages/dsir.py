@@ -75,6 +75,41 @@ def hashed_feature_counts(ds, text_col: str = "text") -> np.ndarray:
     return total
 
 
+def hashed_feature_counts_split(ds, target_mask_fn, text_col: str = "text"):
+    """ONE streaming pass -> (target_counts, raw_counts), each (B,) int64.
+
+    ``target_mask_fn(batch) -> bool ndarray`` marks the rows of the
+    in-domain target sample; raw counts cover every row.  Fusing the two
+    count passes halves the text reads of the separate
+    ``hashed_feature_counts`` calls (the target is a subset of the raw
+    corpus in the standard DSIR setup)."""
+    from ..functions.segments import row_ids_from_offsets
+
+    def partial(b: pa.Table) -> pa.Table:
+        uni, woff, big, boff = featurize_batch(b[text_col])
+        mask = np.asarray(target_mask_fn(b), dtype=bool)
+        raw = np.bincount(uni, minlength=B)
+        tm = mask[row_ids_from_offsets(woff)]
+        tgt = np.bincount(uni[tm], minlength=B)
+        if len(big):
+            raw += np.bincount(big, minlength=B)
+            bm = mask[row_ids_from_offsets(boff)]
+            tgt += np.bincount(big[bm], minlength=B)
+        nz = np.flatnonzero(raw)
+        return pa.table({"b": nz.astype(np.int64), "nr": raw[nz],
+                         "nt": tgt[nz]})
+
+    t = np.zeros(B, dtype=np.int64)
+    r = np.zeros(B, dtype=np.int64)
+    for p in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        idx = p["b"].to_numpy(zero_copy_only=False)
+        np.add.at(r, idx, p["nr"].to_numpy(zero_copy_only=False))
+        np.add.at(t, idx, p["nt"].to_numpy(zero_copy_only=False))
+    return t, r
+
+
 def dsir_lambda(target_counts: np.ndarray, raw_counts: np.ndarray,
                 alpha: float = ALPHA) -> np.ndarray:
     """Smoothed per-bucket log importance ratios -> (B,) float64.

@@ -64,6 +64,20 @@ def test_counts_match_scalar_any_partitioning(quiet_data_context, nblocks):
 
 
 @pytest.mark.parametrize("nblocks", [1, 3])
+def test_split_counts_match_two_pass(quiet_data_context, nblocks):
+    """The fused single-pass (target, raw) counts equal running the
+    two separate passes (and the scalar reference)."""
+    def is_small_id(b):
+        return b["doc_id"].to_numpy(zero_copy_only=False) < 13
+
+    tgt, raw = dsir.hashed_feature_counts_split(_ds(RAW, nblocks),
+                                                is_small_id)
+    np.testing.assert_array_equal(raw, _scalar_counts(RAW))
+    np.testing.assert_array_equal(
+        tgt, _scalar_counts([r for r in RAW if r["doc_id"] < 13]))
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
 def test_logw_bitexact_vs_scalar_spec(quiet_data_context, nblocks):
     lam = dsir.dsir_lambda(_scalar_counts(TARGET),
                            _scalar_counts(TARGET + RAW))
