@@ -1449,6 +1449,20 @@ def q_host_cap(sf_dir: str):
                     mode="md5")
 
 
+def q_url_blocklist(sf_dir: str):
+    """UT1/C4-style URL filtering (pipelines/reports.flag_blocked_urls):
+    pages from blocklisted hosts or matching a path pattern get
+    blocked=true.  Sorted blocklist shipped via ray.put once (UT1-scale
+    lists are millions of hosts), searchsorted membership + one RE2
+    pattern per batch; one streaming map, no shuffle."""
+    from ..sources.pages import pages_from_documents
+    from .reports import flag_blocked_urls
+
+    blocked = [f"src{i}.docs.example.org" for i in (3, 7, 15)]
+    return flag_blocked_urls(
+        pages_from_documents(sf_dir), blocked, url_regex=r"/4[0-9]$")
+
+
 def q_bigram_counts(sf_dir: str):
     """Top-100 word bigrams by frequency — the counting core of n-gram LM
     training (functions/lm.train_tables uses the same kernel with hashed
@@ -2003,6 +2017,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "host_topk": q_host_topk,
     "host_cap": q_host_cap,
+    "url_blocklist": q_url_blocklist,
 }
 
 def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
@@ -2680,6 +2695,16 @@ ORACLE_SQL = {
         -- (pipelines/oracle_refs.write_curation_reference)
         SELECT doc_id, lang, keep, drop_reason
         FROM read_parquet('/tmp/dqcr_oracle/curation_pipeline.parquet')
+    """,
+    "url_blocklist": """
+        -- pages are a deterministic function of documents (see host_topk)
+        SELECT 'https://' || source || '.docs.example.org/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               source || '.docs.example.org' AS host,
+               source IN ('src3', 'src7', 'src15')
+                   OR regexp_matches(CAST(doc_id AS VARCHAR), '^4[0-9]$')
+                   AS blocked
+        FROM documents
     """,
     "host_cap": """
         -- pages are a deterministic function of documents (see host_topk);

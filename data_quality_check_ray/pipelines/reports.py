@@ -58,6 +58,50 @@ def host_counts(pages_ds, top_k: int | None = None):
     return final.sort(["n_pages", "host"], descending=[True, False])
 
 
+def flag_blocked_urls(pages_ds, blocked_hosts, url_regex: str | None = None,
+                      url_col: str = "url"):
+    """UT1/C4-style URL filtering -> Dataset(url, host, blocked).
+
+    ``blocked_hosts`` is the curated domain blocklist (UT1 ships ~4M
+    hosts); it is sorted once and shipped via ``ray.put`` — a value-set
+    baked into the task closure would re-serialize with EVERY task.
+    Membership = vectorized searchsorted over the sorted host array;
+    ``url_regex`` adds an RE2 pattern rule (adult/tracker path shapes),
+    compiled by Arrow per batch.  One streaming map, no shuffle."""
+    import ray
+
+    hosts = np.sort(np.asarray(list(blocked_hosts), dtype=object))
+    ref = ray.put(hosts)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        url = batch[url_col].combine_chunks() if isinstance(
+            batch[url_col], pa.ChunkedArray) else batch[url_col]
+        # null / malformed urls: compute on a ''-filled copy (None is not
+        # comparable inside searchsorted) — they extract no host and
+        # match no pattern, so they come out blocked=False
+        filled = pc.fill_null(pc.cast(url, pa.string()), "")
+        h = pc.fill_null(
+            pc.struct_field(pc.extract_regex(filled, _HOST_RE), "h"), "")
+        hv = h.to_numpy(zero_copy_only=False).astype(object)
+        if len(bl):
+            pos = np.searchsorted(bl, hv)
+            pos[pos == len(bl)] = 0
+            blocked = bl[pos] == hv
+        else:
+            blocked = np.zeros(len(hv), dtype=bool)
+        if url_regex is not None:
+            m = pc.match_substring_regex(filled, url_regex)
+            blocked = blocked | m.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": pc.cast(url, pa.string()),
+            "host": h,
+            "blocked": pa.array(blocked),
+        })
+
+    return pages_ds.map_batches(flag, batch_format="pyarrow")
+
+
 def _cap_smallest_per_group(t: pa.Table, group_col: str, key_col: str,
                             tiebreak_col: str, cap: int) -> pa.Table:
     """Keep each group's ``cap`` smallest (key, tiebreak) rows — the

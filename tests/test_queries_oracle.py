@@ -49,6 +49,7 @@ CHECKED = [
     "part_size_median",
     "host_topk",
     "host_cap",
+    "url_blocklist",
     # differential oracles (scalar-spec reference parquet, oracle_refs.py)
     "langid_documents",
     "curation_pipeline",
