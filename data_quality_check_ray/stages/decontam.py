@@ -126,6 +126,99 @@ def flag_contaminated(ds, eval_hashes: np.ndarray, text_col: str = "text",
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
+def _dup_span_join_path(ds, shared_ds, text_col: str, id_col: str, k: int):
+    """Scale regime of ``dup_span_stats``: the shared-digest set exceeds
+    the broadcast budget (corpus dominated by cross-doc duplication), so
+    membership is a digest-bucketed hash join instead of a driver-held
+    sorted array.  Output is identical to the broadcast regime.
+
+    Dataflow (all int64-only, the text still never shuffles):
+
+      pairs   [map_batches]   (digest, doc_id, occurrences) per unique
+              (digest, doc) pair — docs never span blocks, so per-block
+              occurrence counts are globally exact
+      hits    [hash_join on digest]  pairs SEMI-JOIN shared digests;
+              ``bucket_reduce`` pre-aggregates occurrences per doc inside
+              each bucket, so the next shuffle moves per-(bucket, doc)
+              partials, not per-gram rows
+      n_dup   [groupby(doc).sum]
+      totals  [map_batches]   (doc_id, n_grams) from a split-count only —
+              no hashing; n_grams = max(0, words - k + 1)
+      out     [hash_join on doc_id, left]  totals + n_dup, nulls -> 0
+
+    Partitioning assumptions: integer ``id_col`` (the join buckets by an
+    integer scramble), and bucket counts sized from read-metadata bytes
+    (the pair stream is ~3-4x the text bytes in the worst case — every
+    window a unique pair — so buckets are sized from 4x the input)."""
+    from .joins import buckets_for_bytes, cheap_size_bytes, hash_join
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        h, rows, _ = _shingle_hash_rows(b[text_col], k)
+        ids = as_single_array(b[id_col])
+        if not len(h):
+            return pa.table({
+                "h": pa.array([], pa.int64()),
+                "__doc": ids.slice(0, 0),
+                "c": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((rows, h))
+        hs, rs = h[order], rows[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        starts = np.flatnonzero(first)
+        occ = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        return pa.table({
+            "h": pa.array(hs[first]),
+            "__doc": ids.take(pa.array(rs[first])),
+            "c": pa.array(occ),
+        })
+
+    text_bytes = cheap_size_bytes(ds)
+    pair_buckets = buckets_for_bytes(4 * text_bytes if text_bytes else None)
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("__doc").aggregate([("c", "sum")])
+        return g.select(["__doc", "c_sum"])
+
+    from ray.data.aggregate import Sum
+
+    hits = hash_join(pairs, shared_ds, key="h",
+                     num_buckets=pair_buckets,
+                     bucket_reduce=per_doc_partial)
+    n_dup = hits.groupby("__doc").aggregate(
+        Sum("c_sum", alias_name="__n_dup"))
+
+    def totals_map(b: pa.Table) -> pa.Table:
+        arr = as_single_array(b[text_col])
+        arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+        nw = pc.list_value_length(pc.split_pattern(arr, " "))
+        nw = nw.to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = np.maximum(nw - (k - 1), 0)
+        return pa.table({id_col: b[id_col], "n_grams": pa.array(ng)})
+
+    totals = ds.map_batches(totals_map, batch_format="pyarrow")
+    doc_buckets = buckets_for_bytes(
+        text_bytes // 8 if text_bytes else None)
+    joined = hash_join(totals, n_dup, key=id_col, right_key="__doc",
+                       how="left", num_buckets=doc_buckets)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        total = b["n_grams"].to_numpy(zero_copy_only=False)
+        dup = pc.fill_null(b["__n_dup"], 0).to_numpy(zero_copy_only=False)
+        dup = dup.astype(np.int64)
+        frac = np.where(total > 0, dup / np.maximum(total, 1), 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": b["n_grams"],
+            "n_dup": pa.array(dup),
+            "dup_frac": pa.array(frac),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                    k: int = 5, broadcast_limit: int = EVAL_BROADCAST_BYTES):
     """Cross-document duplicate n-gram span statistics (the flag/measure
@@ -154,12 +247,21 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
               (``ray.put``), searchsorted membership, per-doc
               occurrence fractions via bincount
 
-    Partitioning assumption (per the engine's custom-operator rule): the
-    shared-gram set fits one worker's heap.  True when duplication is
-    the exception (the case worth measuring); a heavily duplicated
-    corpus trips the fail-fast guard, and the scale path is then to run
-    ``dedup_exact``/``minhash_dedup`` FIRST — or replace the broadcast
-    with a digest-bucketed membership join at one extra shuffle."""
+    Two regimes, chosen by a STREAMING size probe (the shared-digest set
+    is counted via a distributed aggregate BEFORE any driver collect —
+    the driver never materializes an array it has not already sized):
+
+    * broadcast (duplication is the exception, the common case): the
+      shared set fits ``broadcast_limit`` -> collect, ``ray.put`` once,
+      searchsorted membership per batch.  One digest shuffle total.
+    * bucketed membership join (heavily duplicated corpus): the shared
+      set stays distributed; per-doc duplicate counts come from a
+      digest-bucketed hash join of the (digest, doc, occurrences)
+      stream against the shared-digest table — see
+      ``_dup_span_join_path``.  Three extra int-only shuffles, text
+      still never moves.  Requires an integer ``id_col`` (the join
+      buckets by integer key); the broadcast regime has no such
+      constraint."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -179,22 +281,23 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
     counts = (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("h").aggregate(Sum("n", alias_name="n")))
+    # materialize the digest-only shared set ONCE (8 B/digest, object
+    # store spills if huge): it is consumed twice — a metadata count for
+    # the regime decision, then either the broadcast collect or the join
+    # build side — and must not re-run the text-shingling shuffle
+    shared_ds = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if shared_ds.count() * 8 > broadcast_limit:
+        return _dup_span_join_path(ds, shared_ds, text_col, id_col, k)
     shared_parts = [
         p["h"].to_numpy(zero_copy_only=False)
-        for p in counts.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
-            batch_format="pyarrow",
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        for p in shared_ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
     ]
     shared = (np.sort(np.concatenate(shared_parts))
               if shared_parts else np.array([], dtype=np.int64))
-    if shared.nbytes > broadcast_limit:
-        raise ValueError(
-            f"shared n-gram set is {shared.nbytes >> 20} MiB (> "
-            f"{broadcast_limit >> 20} MiB): corpus is dominated by "
-            "cross-doc duplication — exact/minhash-dedup it first, or "
-            "switch to the bucketed-join membership path"
-        )
     ref = ray.put(shared)
 
     def scan(b: pa.Table) -> pa.Table:

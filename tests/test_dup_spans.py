@@ -89,7 +89,29 @@ def test_exact_duplicate_docs_fully_flagged(quiet_data_context):
     assert (out["dup_frac"] == 1.0).all()
 
 
-def test_broadcast_limit_guard(quiet_data_context):
-    rows = [{"doc_id": i, "text": "a b c d e f g h i j"} for i in range(2)]
-    with pytest.raises(ValueError, match="shared n-gram set"):
-        _run(rows, broadcast_limit=8)
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_join_path_matches_scalar_reference(quiet_data_context, nblocks):
+    """broadcast_limit=0 forces the digest-bucketed membership-join
+    regime (the 100-TB heavily-duplicated-corpus path); output must be
+    identical to the broadcast regime, including the short/empty/null
+    edge docs."""
+    out = _run(DOCS, nblocks=nblocks, broadcast_limit=0)
+    ref = _scalar_reference(DOCS)
+    for did, (n, d, f) in ref.items():
+        assert out.loc[did, "n_grams"] == n
+        assert out.loc[did, "n_dup"] == d, f"doc {did}"
+        assert out.loc[did, "dup_frac"] == pytest.approx(f)
+
+
+def test_join_path_equals_broadcast_path_real_corpus(quiet_data_context):
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = (dup_span_stats(ds, k=5).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_span_stats(ds, k=5, broadcast_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (a["n_dup"] > 0).any()  # corpus has real cross-doc dup spans
