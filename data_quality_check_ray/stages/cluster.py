@@ -160,8 +160,72 @@ def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def auto_k(n_rows: int, max_cluster: int = SEMDEDUP_MAX_CLUSTER) -> int:
+    """Cluster count from corpus size: expected members per cluster =
+    ``max_cluster // 8``, so typical (< 8x-mean) skew stays under the
+    pair-scan bound without manual tuning.  Floors at 8 (SemDeDup needs
+    some structure to prune pairs), caps at 65536 (centroid broadcast =
+    k x d doubles; 64k x 1k dims = 512 MB, the ``ray.put`` budget),
+    never exceeds the row count (k-means seeding needs k vectors)."""
+    target = max(1, max_cluster // 8)
+    k = -(-int(n_rows) // target)  # ceil
+    return int(max(1, min(max(8, k), 1 << 16, n_rows)))
+
+
+def _pairwise_reps(ids: np.ndarray, x: np.ndarray, tau: float) -> np.ndarray:
+    """ids ascending, x L2-normalized rows aligned to ids -> rep id per
+    row (-1 = keep).  Chunked lower-triangle scan: rows j only compare
+    against i < j, so memory stays (step x n) regardless of n."""
+    n = len(ids)
+    rep = np.full(n, -1, dtype=np.int64)
+    step = 4096
+    for lo in range(1, n, step):
+        hi = min(lo + step, n)
+        sims = x[lo:hi] @ x[:hi].T          # (chunk, hi)
+        jj = np.arange(lo, hi)[:, None]
+        hit = (sims >= tau) & (np.arange(hi)[None, :] < jj)
+        any_hit = hit.any(axis=1)
+        first = hit.argmax(axis=1)          # smallest i (ids sorted)
+        rep[lo:hi][any_hit] = ids[first[any_hit]]
+    return rep
+
+
+def _reps_bounded(ids: np.ndarray, x: np.ndarray, tau: float,
+                  max_cluster: int, depth: int = 3) -> np.ndarray:
+    """Pair scan with a local sub-clustering escape hatch for skewed
+    giant clusters: above ``max_cluster``, run an in-task Lloyd split
+    (seeds = the smallest-id members — same determinism rule as the
+    global fit) and scan each sub-cluster.  Finer clustering is the
+    SemDeDup-sanctioned way to bound the O(n²) scan; output remains a
+    valid SemDeDup answer (for a finer partition), just not the fixed-k
+    one.  If Lloyd cannot split (near-identical vectors), recursion
+    bottoms out and the chunked scan runs anyway — slow, bounded memory,
+    never an error."""
+    n = len(ids)
+    if n <= max_cluster or depth <= 0:
+        return _pairwise_reps(ids, x, tau)
+    ksub = min(max(2, -(-2 * n // max_cluster)), n)
+    c = x[:ksub].copy()
+    for _ in range(4):
+        a = _argmin_assign(x, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        cnt = np.bincount(a, minlength=ksub)
+        live = cnt > 0
+        c[live] = sums[live] / cnt[live, None]
+    a = _argmin_assign(x, c)
+    if len(np.unique(a)) <= 1:  # unsplittable: degrade to the full scan
+        return _pairwise_reps(ids, x, tau)
+    rep = np.full(n, -1, dtype=np.int64)
+    for sub in np.unique(a):
+        idx = np.flatnonzero(a == sub)
+        rep[idx] = _reps_bounded(ids[idx], x[idx], tau, max_cluster,
+                                 depth - 1)
+    return rep
+
+
 def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
-             k: int = 8, iters: int = 2, tau: float = 0.4,
+             k: int | None = None, iters: int = 2, tau: float = 0.4,
              centroids: np.ndarray | None = None,
              max_cluster: int = SEMDEDUP_MAX_CLUSTER,
              dtype=np.float64):
@@ -172,23 +236,32 @@ def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
 
     -> Dataset(id_col, cluster_id, is_dup, rep_id)  (rep_id null on keeps)
 
+    ``k=None`` (default) derives the cluster count from the corpus row
+    count via ``auto_k`` — metadata row count when the input is a parquet
+    read or materialized handle, one streaming count otherwise — so the
+    operator needs no manual tuning as the corpus grows.  An explicit
+    ``k`` pins the partition (the oracle-comparable mode).
+
     One shuffle total: the groupby on cluster_id co-locates each cluster;
-    the O(n²) pair scan runs per cluster with a fail-fast size guard (at
-    scale raise k so clusters stay bounded — pair pruning is the POINT of
-    the clustering step).  ``dtype``: float64 (default) for oracle-exact
+    the O(n²) pair scan runs per cluster.  A cluster that still exceeds
+    ``max_cluster`` (pathological skew) is sub-clustered IN-TASK by
+    ``_reps_bounded`` rather than failing — see its docstring for the
+    degradation contract.  ``dtype``: float64 (default) for oracle-exact
     cosines; pass float32 at scale — the pair matmul is memory-bound and
     halves its traffic, at ~1e-7 cosine noise vs a tau threshold."""
     ds = _materialize_if_small(ds)
+    if k is None and centroids is None:
+        from .joins import cheap_num_rows
+
+        n_rows = cheap_num_rows(ds)
+        if n_rows is None:
+            n_rows = ds.count()
+        k = auto_k(n_rows, max_cluster)
     if centroids is None:
         centroids = kmeans_fit(ds, col, id_col, k=k, iters=iters)
     assigned = kmeans_assign(ds, centroids, col, id_col, keep_embedding=True)
 
     def dedup_group(g: pa.Table) -> pa.Table:
-        if len(g) > max_cluster:
-            raise ValueError(
-                f"semdedup cluster of {len(g)} vectors exceeds "
-                f"max_cluster={max_cluster}: raise k to bound the pair scan"
-            )
         ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         order = np.argsort(ids, kind="stable")
@@ -197,18 +270,7 @@ def semdedup(ds, col: str = "embedding", id_col: str = "vec_id",
         nrm = np.linalg.norm(x, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         x = x / nrm
-        n = len(ids)
-        rep = np.full(n, -1, dtype=np.int64)
-        # chunked lower-triangle scan: rows j only compare against i < j
-        step = 4096
-        for lo in range(1, n, step):
-            hi = min(lo + step, n)
-            sims = x[lo:hi] @ x[:hi].T          # (chunk, hi)
-            jj = np.arange(lo, hi)[:, None]
-            hit = (sims >= tau) & (np.arange(hi)[None, :] < jj)
-            any_hit = hit.any(axis=1)
-            first = hit.argmax(axis=1)          # smallest i (ids sorted)
-            rep[lo:hi][any_hit] = ids[first[any_hit]]
+        rep = _reps_bounded(ids, x, tau, max_cluster)
         import pyarrow.compute as pc
 
         return pa.table({

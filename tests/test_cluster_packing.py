@@ -99,13 +99,58 @@ def test_semdedup_flags_scaled_copies(quiet_data_context):
     assert out["rep_id"].isna().sum() == (~out["is_dup"]).sum()
 
 
-def test_semdedup_cluster_size_guard(quiet_data_context):
+def test_semdedup_oversized_cluster_subsplits_not_raises(
+        quiet_data_context):
+    """A cluster over max_cluster used to raise; it must now sub-split
+    in-task and still flag near-identical pairs (which co-locate under
+    any finer clustering)."""
     import ray.data as rd
 
-    mat = np.random.RandomState(1).randn(20, 4)
+    rng = np.random.RandomState(1)
+    base = rng.randn(20, 4) * 0.01
+    base[:10] += np.array([10.0, 0, 0, 0])   # two separable lobes so the
+    base[10:] += np.array([0, 10.0, 0, 0])   # local Lloyd split works
+    mat = np.vstack([base, base[3] * 2.0])   # id 20: scaled copy of id 3
     ds = rd.from_arrow(_vec_table(mat))
-    with pytest.raises(Exception, match="max_cluster"):
-        cluster.semdedup(ds, k=1, iters=1, max_cluster=5).to_pandas()
+    out = cluster.semdedup(ds, k=1, iters=1, tau=0.999, max_cluster=5) \
+        .to_pandas().set_index("vec_id")
+    assert len(out) == 21
+    assert bool(out.loc[20, "is_dup"]) and out.loc[20, "rep_id"] == 3
+
+
+def test_semdedup_unsplittable_cluster_degrades_to_full_scan(
+        quiet_data_context):
+    """All-identical vectors cannot be Lloyd-split; the operator must
+    degrade to the quadratic scan (bounded memory) and mark every vector
+    a dup of the smallest id — never error."""
+    import ray.data as rd
+
+    mat = np.tile(np.array([1.0, 2.0, 3.0, 4.0]), (12, 1))
+    ds = rd.from_arrow(_vec_table(mat))
+    out = cluster.semdedup(ds, k=1, iters=1, tau=0.9, max_cluster=4) \
+        .to_pandas().set_index("vec_id").sort_index()
+    assert not out.loc[0, "is_dup"]
+    assert out.loc[1:, "is_dup"].all()
+    assert (out.loc[1:, "rep_id"] == 0).all()
+
+
+def test_semdedup_auto_k(quiet_data_context):
+    """k=None derives the cluster count from the corpus size: with
+    max_cluster=16 over 64 vectors, auto_k targets ~2-member clusters
+    (>= 8 clusters), and the run completes where a fixed k=1 would have
+    tripped the old guard."""
+    import ray.data as rd
+
+    assert cluster.auto_k(64, max_cluster=16) == 32
+    assert cluster.auto_k(100, max_cluster=2_000_000) == 8  # floor
+    assert cluster.auto_k(3, max_cluster=2_000_000) == 3    # <= n rows
+    rng = np.random.RandomState(7)
+    mat = rng.randn(64, 4) * 0.1 + rng.randn(64, 1) * 5.0
+    ds = rd.from_arrow(_vec_table(mat))
+    out = cluster.semdedup(ds, iters=1, tau=0.9999, max_cluster=16) \
+        .to_pandas()
+    assert len(out) == 64
+    assert out["cluster_id"].nunique() >= 8
 
 
 def _docs(texts, ids=None) -> pa.Table:
