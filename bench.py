@@ -108,6 +108,39 @@ def run_headline() -> dict:
     return {"n_docs": n, "sec": wall, "docs_per_sec": n / wall, "runs": [round(w, 3) for w in walls]}
 
 
+#: single-process kernel rate in a known-healthy window (median of
+#: repeated round-4 measurements: 4.4-5.2 batches/s; the older
+#: BENCH/contention.json 3.8 predates the round-3 kernel work).  The live
+#: probe divided by this is the box-window ratio — ~1.0 healthy, well
+#: below when a co-tenant is saturating the shared memory bus (this box
+#: is bimodal; see BENCH/BASELINE.md "bimodal box").
+HEALTHY_KERNEL_BPS = 4.6
+
+
+def calibration(secs: float = 2.0) -> dict:
+    """Framework-free box-health probe emitted with every bench artifact:
+    run the exact model-stage kernel (scripts/contention_probe.py) in ONE
+    plain OS process for ~2 s.  No Ray, no object store — any deviation
+    from the committed healthy rate is the BOX (co-tenant interference),
+    not the engine, so the driver's record carries its own window
+    context."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        import contention_probe
+
+        r = contention_probe.run_level(
+            1, secs, contention_probe.probe_parquet())
+        bps = r["per_proc_batches_per_sec"]
+        return {
+            "kernel_batches_per_sec": bps,
+            "healthy_reference": HEALTHY_KERNEL_BPS,
+            "window_ratio": round(bps / HEALTHY_KERNEL_BPS, 3),
+        }
+    except Exception as exc:  # never fail the bench over the probe
+        return {"error": str(exc)[:200]}
+
+
 def run_queries() -> dict[str, float]:
     import __ray_entry__ as e
 
@@ -142,6 +175,7 @@ def main() -> None:
     if os.environ.get("BENCH_INFLIGHT"):
         ctx.max_tasks_in_flight_per_actor = int(os.environ["BENCH_INFLIGHT"])
 
+    cal = calibration()
     head = run_headline()
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
 
@@ -154,6 +188,7 @@ def main() -> None:
                 "n_docs": head["n_docs"],
                 "docs_per_sec": round(head["docs_per_sec"], 1),
                 "runs": head["runs"],
+                "calibration": cal,
                 "queries": queries,
                 "sf": _sf_of(SF_DIR),
                 "num_cpus": NUM_CPUS,
@@ -165,9 +200,24 @@ def main() -> None:
 
 def scaling() -> None:
     """Two fresh processes at 8 and 32 CPUs on the same input — the sandbox
-    stand-in for N vs 4N nodes (BASELINE.md protocol)."""
+    stand-in for N vs 4N nodes (BASELINE.md protocol).
 
-    def one(ncpu: int) -> dict:
+    The framework-free kernel probe runs at BOTH parallelism levels in
+    the same session, immediately before each bench leg: its (lo -> hi)
+    total-throughput ratio is the efficiency ceiling the box's one shared
+    memory bus imposes on ANY code at that concurrency — a component a
+    multi-NODE cluster does not have (each node brings its own bus).
+    ``normalized_efficiency`` = raw efficiency / that hardware ceiling:
+    the node-count-scaling estimate this single box can give."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import contention_probe
+
+    parquet = contention_probe.probe_parquet()
+    probe_secs = float(os.environ.get("PROBE_SECS", "4"))
+
+    def one(ncpu: int) -> tuple[dict, dict]:
+        probe = contention_probe.run_level(ncpu, probe_secs, parquet)
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
             # 8x the default workload so fixed costs (session setup, actor
@@ -181,25 +231,40 @@ def scaling() -> None:
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        return json.loads(out.strip().splitlines()[-1]), probe
 
     pair = os.environ.get("SCALING_PAIR", "8,32")
     lo, hi = (int(x) for x in pair.split(","))
-    r_lo, r_hi = one(lo), one(hi)
+    (r_lo, p_lo), (r_hi, p_hi) = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": f"N->4N scaling efficiency (num_cpus {lo} vs {hi}, fresh processes)",
-                "n_docs": r_lo["n_docs"],
-                f"sec_{lo}": r_lo["value"],
-                f"sec_{hi}": r_hi["value"],
-                f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-                f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-            }
-        )
-    )
+    ceiling = (p_hi["total_batches_per_sec"]
+               / p_lo["total_batches_per_sec"]) / (hi / lo)
+    result = {
+        "metric": f"N->4N scaling efficiency (num_cpus {lo} vs {hi}, fresh processes)",
+        "n_docs": r_lo["n_docs"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "kernel_probe": {
+            "kernel": "pre_stage + QualityModelStage, plain OS processes",
+            f"total_batches_per_sec_{lo}proc": p_lo["total_batches_per_sec"],
+            f"total_batches_per_sec_{hi}proc": p_hi["total_batches_per_sec"],
+            "hardware_efficiency_ceiling": round(ceiling, 3),
+        },
+        "normalized_efficiency": round(eff / ceiling, 3) if ceiling else None,
+        "calibration_lo": r_lo.get("calibration"),
+        "calibration_hi": r_hi.get("calibration"),
+    }
+    print(json.dumps(result))
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", f"scaling_{lo}v{hi}_latest.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

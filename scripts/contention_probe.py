@@ -23,7 +23,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 WORKER = '''
-import sys, time
+import os, sys, time
 sys.path.insert(0, %(root)r)
 import pyarrow.parquet as pq
 from data_quality_check_ray.config import PipelineConfig
@@ -33,40 +33,78 @@ t = pq.read_table(%(parquet)r)
 b = pre_stage(t.slice(0, 4000))
 s = QualityModelStage(cfg=PipelineConfig())
 s(b)  # warm
+# barrier: wait for the parent's GO file so every worker measures the
+# same window (otherwise late starters measure while early ones still
+# pay import/warmup contention, skewing high-K levels down)
+print("READY", flush=True)
+while not os.path.exists(%(go)r):
+    time.sleep(0.02)
 t0 = time.time(); n = 0
-while time.time() - t0 < %(secs)d:
+while time.time() - t0 < %(secs)f:
     s(b); n += 1
 print(n / (time.time() - t0))
 '''
 
 
-def main() -> None:
-    pages_dir = sys.argv[1] if len(sys.argv) > 1 else None
+def probe_parquet(pages_dir: str | None = None) -> str:
+    """Path to the fixed 8k-page probe table (written once, cached)."""
     if pages_dir is None:
         from data_quality_check_ray.sources import synth
 
         base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
         pages_dir = f"{base}/dqcr_contention_pages"
         synth.write_pages_parquet(pages_dir, 8000, num_files=1)
-    parquet = os.path.join(
-        pages_dir, sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))[0]
+    return os.path.join(
+        pages_dir,
+        sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))[0],
     )
+
+
+def run_level(k: int, secs: float, parquet: str) -> dict:
+    """Kernel throughput across ``k`` concurrent plain OS processes for
+    ``secs`` seconds -> {per_proc_batches_per_sec, total_batches_per_sec}.
+    Importable (bench.py's calibration rides on this).  A ready/go file
+    barrier aligns every worker's measurement window."""
+    import tempfile
+    import time as _time
+
+    go = os.path.join(tempfile.gettempdir(),
+                      f"dqcr_probe_go_{os.getpid()}_{_time.monotonic_ns()}")
+    code = WORKER % {"root": ROOT, "parquet": parquet, "secs": float(secs),
+                     "go": go}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(k)
+    ]
+    try:
+        for p in procs:
+            assert p.stdout.readline().strip() == "READY"
+        with open(go, "w"):
+            pass
+        rates = [float(p.communicate()[0].strip().splitlines()[-1])
+                 for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        if os.path.exists(go):
+            os.unlink(go)
+    return {
+        "per_proc_batches_per_sec": round(sum(rates) / len(rates), 3),
+        "total_batches_per_sec": round(sum(rates), 2),
+    }
+
+
+def main() -> None:
+    pages_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    parquet = probe_parquet(pages_dir)
     secs = int(os.environ.get("PROBE_SECS", "8"))
     levels = [int(x) for x in os.environ.get("PROBE_LEVELS", "1,6,24").split(",")]
-    code = WORKER % {"root": ROOT, "parquet": parquet, "secs": secs}
 
     results = {}
     for k in levels:
-        procs = [
-            subprocess.Popen([sys.executable, "-c", code],
-                             stdout=subprocess.PIPE, text=True)
-            for _ in range(k)
-        ]
-        rates = [float(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
-        results[str(k)] = {
-            "per_proc_batches_per_sec": round(sum(rates) / len(rates), 3),
-            "total_batches_per_sec": round(sum(rates), 2),
-        }
+        results[str(k)] = run_level(k, secs, parquet)
         print(k, results[str(k)])
 
     multi = [lv for lv in levels if lv > 1] or levels
