@@ -1333,6 +1333,28 @@ def q_curation_pipeline(sf_dir: str):
     return build_curation_pipeline(ds)
 
 
+def q_curation_full(sf_dir: str):
+    """The full curation suite composed end-to-end
+    (pipelines/curation.build_curation_full_pipeline): base spine (dup +
+    rules + sampling) + benchmark decontamination + DSIR selection, the
+    engine analog of the reference's single orchestrator composing every
+    validation arm (json_validation.rs:16-149).
+
+    Oracle: the base labels and DSIR flags come from the committed
+    differential references (write_curation_reference /
+    write_dsir_reference); the decontam arm and the priority merge are
+    expressed directly in SQL."""
+    from .curation import build_curation_full_pipeline
+    from .oracle_refs import write_curation_reference, write_dsir_reference
+
+    write_curation_reference(sf_dir)
+    write_dsir_reference(sf_dir, target_mod=31)
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return build_curation_full_pipeline(ds)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users over events — mergeable
     per-batch sketches (4 KiB partials), the shuffle-free stand-in for
@@ -1970,6 +1992,7 @@ def q_bm25_topk(sf_dir: str):
 QUERIES = {
     # -- flagship quality-filter family (north rule) --
     "curation_pipeline": q_curation_pipeline,
+    "curation_full": q_curation_full,
     "pages_pipeline": q_pages_pipeline,
     "langid_documents": q_langid_documents,
     "minhash_dedup": q_minhash_dedup,
@@ -2015,13 +2038,15 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     # -- joins / windows / sessions --
     "segment_revenue": q_segment_revenue,
-    "q3_shipping": q_q3_shipping,
     "asof_purchase_before_error": q_asof_purchase_before_error,
     "events_in_windows": q_events_in_windows,
     "events_daily": q_events_daily,
     "events_sliding_3h": q_events_sliding_3h,
     "user_sessions": q_user_sessions,
     # -- operator variants already proven above (position > 50) --
+    # (q3_shipping's partitioned hash join stays driver-proven through
+    # curation_full/minhash_dedup, which run on the same join primitive)
+    "q3_shipping": q_q3_shipping,
     "q1_pricing": q_q1_pricing,
     "priority_revenue": q_priority_revenue,
     "supplier_stats": q_supplier_stats,
@@ -2068,6 +2093,40 @@ def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
 
 
 ORACLE_SQL = {
+    # composed curation suite: base labels + DSIR flags from the committed
+    # differential references; the decontam arm (eval split doc_id%97==0,
+    # 5-gram overlap) and the drop-priority merge expressed directly.
+    # Priority: dup/rule reasons > decontam:eval > dsir:out > sample:out.
+    "curation_full": """
+        WITH base AS (SELECT doc_id, lang, drop_reason AS r
+              FROM read_parquet('/tmp/dqcr_oracle/curation_pipeline.parquet')),
+             dsir AS (SELECT doc_id, selected
+              FROM read_parquet('/tmp/dqcr_oracle/dsir_select.parquet')),
+             evald AS (SELECT lower(text) AS t FROM documents
+                       WHERE doc_id % 97 = 0),
+             ew AS (SELECT string_split(t, ' ') AS ws FROM evald),
+             eg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                    FROM ew, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             aw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+             ag AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+                    FROM aw, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             hits AS (SELECT ag.doc_id, count(*) AS n
+                      FROM ag JOIN eg USING (g) GROUP BY ag.doc_id),
+             comp AS (
+               SELECT b.doc_id, b.lang,
+                      CASE WHEN b.r NOT IN ('', 'sample:out') THEN b.r
+                           WHEN (b.doc_id % 97 = 0)
+                                OR coalesce(h.n, 0) > 0 THEN 'decontam:eval'
+                           WHEN NOT d.selected THEN 'dsir:out'
+                           ELSE b.r END AS drop_reason
+               FROM base b LEFT JOIN hits h USING (doc_id)
+                    JOIN dsir d USING (doc_id))
+        SELECT doc_id, lang, drop_reason = '' AS keep, drop_reason
+        FROM comp
+    """,
     # BM25: same RE2 tokenization (string_split_regex \\s+), e-notation
     # literals so DuckDB parses them as DOUBLE (plain 1.2 would be
     # DECIMAL and break float association parity), contributions added

@@ -68,3 +68,39 @@ def test_sampling_rates_applied(quiet_data_context):
     assert abs(en["keep"].mean() - 0.5) < 0.05
     assert not de["keep"].any()
     assert (de["drop_reason"] == "sample:out").all()
+
+
+def test_full_pipeline_composes_decontam_and_dsir(quiet_data_context):
+    """build_curation_full_pipeline: base reasons keep priority, the
+    eval split (doc_id % eval_mod == 0) and docs overlapping its 5-grams
+    get decontam:eval, the rest gain dsir:out only when unselected."""
+    import ray.data as rd
+
+    from data_quality_check_ray.pipelines.curation import (
+        build_curation_full_pipeline)
+
+    eval_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa from the held out benchmark with many more words")
+    rows = [
+        # doc 0: the eval-split doc itself (0 % 7 == 0)
+        {"doc_id": 0, "lang": "en", "text": eval_text},
+        # doc 8: shares a 5-gram run with the eval doc -> contaminated
+        {"doc_id": 8, "lang": "en",
+         "text": "prefix words alpha beta gamma delta epsilon zeta "
+                 "and then the rest of this ordinary document continues"},
+        # doc 1: clean keeper
+        {"doc_id": 1, "lang": "en", "text": GOOD},
+        # doc 2: exact dup of 1 -> dup:exact outranks everything
+        {"doc_id": 2, "lang": "en", "text": GOOD},
+        # doc 3: too short AND would be eval split at mod 3 - rules win
+        {"doc_id": 3, "lang": "en", "text": "too short"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = (build_curation_full_pipeline(ds, eval_mod=7, dsir_target_mod=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "drop_reason"] == "decontam:eval"
+    assert out.loc[8, "drop_reason"] == "decontam:eval"
+    assert out.loc[2, "drop_reason"] == "dup:exact"
+    assert out.loc[3, "drop_reason"] == "rule:too_short"
+    assert out.loc[1, "drop_reason"] in ("", "dsir:out")
+    assert (out["keep"] == (out["drop_reason"] == "")).all()
