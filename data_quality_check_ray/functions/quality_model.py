@@ -89,6 +89,30 @@ def build_qc_weights() -> np.ndarray:
     return w
 
 
+@lru_cache(maxsize=1)
+def load_trained_qc_weights() -> np.ndarray:
+    """(B,) float32 TRAINED weight table — the committed artifact from
+    ``scripts/train_qc_weights.py`` (deterministic full-batch Adagrad
+    logistic regression on the synthetic pages corpus, labeled by the
+    pipeline's own rule decisions; held-out AUC in the parquet
+    metadata).  Proves the "trained weights drop into the same table"
+    contract: both scoring paths accept it interchangeably with the
+    closed-form table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts",
+        "qc_weights_trained.parquet")
+    w = pq.read_table(path)["w"].to_numpy().astype(np.float32)
+    if len(w) != B:
+        raise ValueError(f"trained weight table has {len(w)} buckets, "
+                         f"expected {B}")
+    w.setflags(write=False)
+    return w
+
+
 def _score_from_sums(total32: np.ndarray, n_feat: np.ndarray
                      ) -> tuple[np.ndarray, np.ndarray]:
     """(float32 sums, int feature counts) -> (qc_score f32, qc_keep bool).
@@ -112,9 +136,13 @@ def lower_simple(s: str) -> str:
     return "".join("i" if c == "İ" else c.lower() for c in s)
 
 
-def score_scalar_qc(text: str | None) -> tuple[np.float32, bool]:
-    """Pinned-spec path: score one document."""
-    w = build_qc_weights()
+def score_scalar_qc(text: str | None,
+                    weights: np.ndarray | None = None
+                    ) -> tuple[np.float32, bool]:
+    """Pinned-spec path: score one document (``weights`` defaults to the
+    closed-form table; pass ``load_trained_qc_weights()`` for the
+    trained artifact)."""
+    w = weights if weights is not None else build_qc_weights()
     toks = [lower_simple(t) for t in (text or "").split()]
     uni = np.array([word_bucket_scalar(t) for t in toks], dtype=np.int64)
     big = (uni[:-1] * BIGRAM_MULT + uni[1:]) % B if len(uni) > 1 else \
@@ -192,10 +220,12 @@ def featurize_batch(texts: pa.ChunkedArray | pa.Array):
     return uni, woff.astype(np.int64), big, boff
 
 
-def qc_scores(texts: pa.ChunkedArray | pa.Array
+def qc_scores(texts: pa.ChunkedArray | pa.Array,
+              weights: np.ndarray | None = None
               ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized batch scorer -> (qc_score f32[n], qc_keep bool[n])."""
-    w = build_qc_weights()
+    """Vectorized batch scorer -> (qc_score f32[n], qc_keep bool[n]).
+    ``weights`` as in ``score_scalar_qc``."""
+    w = weights if weights is not None else build_qc_weights()
     uni, woff, big, boff = featurize_batch(texts)
     n_words, n_big = np.diff(woff), np.diff(boff)
     s_uni = segment_sum_sequential32(w[uni], woff)

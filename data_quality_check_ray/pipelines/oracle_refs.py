@@ -127,17 +127,25 @@ def write_quality_classifier_reference(sf_dir: str) -> str:
     """Scalar-spec quality-classifier labels (quality_model.score_scalar_qc
     per doc) — the independent path the vectorized qc_scores must match
     bit-for-bit, float32 scores included."""
-    stamp = _stamp(sf_dir)
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts",
+        "qc_weights_trained.parquet")
+    st = os.stat(art)
+    # the weight artifact is part of the reference identity: retraining
+    # must invalidate a cached reference built with the old table
+    stamp = _stamp(sf_dir, extra=("qc_trained", st.st_mtime_ns, st.st_size))
     hit = _cached("quality_classifier", stamp)
     if hit:
         return hit
-    from ..functions.quality_model import score_scalar_qc
+    from ..functions.quality_model import (
+        load_trained_qc_weights, score_scalar_qc)
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    w = load_trained_qc_weights()
     scores, keeps = [], []
     for t in docs["text"].to_pylist():
-        s, k = score_scalar_qc(t)
+        s, k = score_scalar_qc(t, w)
         scores.append(s)
         keeps.append(k)
     tbl = pa.table({

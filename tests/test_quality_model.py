@@ -100,3 +100,55 @@ def test_bigrams_never_cross_document_boundaries(shape):
         es, ek = score_scalar_qc(t)
         assert s[i] == np.float32(es), (shape, i)
         assert bool(k[i]) == ek
+
+
+def test_trained_artifact_loads_and_paths_agree():
+    """The committed trained table drops into both scoring paths and they
+    stay bit-identical (same contract as the closed-form table)."""
+    from data_quality_check_ray.functions.quality_model import (
+        load_trained_qc_weights)
+
+    w = load_trained_qc_weights()
+    assert w.dtype == np.float32 and len(w) == 1 << 16
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "blightmaw grimspit noxweed", "", None, "word"]
+    s, k = qc_scores(pa.array(texts, type=pa.string()), w)
+    for i, t in enumerate(texts):
+        es, ek = score_scalar_qc(t, w)
+        assert s[i] == np.float32(es)
+        assert bool(k[i]) == ek
+
+
+def test_trained_artifact_heldout_auc_recorded_above_bar():
+    """Training metadata rides in the artifact; the held-out separation
+    (quality vs junk on the synthetic corpus, computed by
+    scripts/train_qc_weights.py on a disjoint split) must clear 0.9."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data_quality_check_ray", "artifacts",
+        "qc_weights_trained.parquet")
+    meta = json.loads(
+        pq.read_schema(path).metadata[b"dqcr_qc_training"])
+    assert meta["heldout_auc_overall"] > 0.9
+    assert meta["heldout_auc_per_class"]["tox:term"] > 0.9
+    assert meta["n_heldout_docs"] > 10_000
+
+
+def test_trained_weights_separate_live_examples():
+    """Live sanity: with the trained table, toxicity-laden prose scores
+    below ordinary prose."""
+    from data_quality_check_ray.functions.quality_model import (
+        load_trained_qc_weights)
+
+    w = load_trained_qc_weights()
+    clean = ("The committee published its annual report on the state "
+             "of the national parks and the people who visit them.")
+    tox = clean + " blightmaw grimspit"
+    s_clean, _ = score_scalar_qc(clean, w)
+    s_tox, _ = score_scalar_qc(tox, w)
+    assert s_tox < s_clean
