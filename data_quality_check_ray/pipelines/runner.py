@@ -139,3 +139,53 @@ def run(cfg: RunConfig) -> dict:
         "stale_removed": bool(cfg.clean_stale and stale),
         "complete": skipped + done == len(parts),
     }
+
+
+def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
+                                max_partitions: int | None = None) -> dict:
+    """Resumable sink for shuffle-bearing operator outputs
+    (pack_sequences, shuffle_shards, dedup verdicts): one parquet dir per
+    distinct ``partition_col`` value (``part-<v>``), written atomically
+    (tmp dir + rename) and SKIPPED when already present.
+
+    Resume contract: the upstream op must be a deterministic function of
+    its input — both packing (doc_id-ordered prefix sum) and the train
+    shuffle (keyed placement) are — so a killed run rerun with the same
+    arguments recomputes the op once and writes only the missing
+    partitions; finished partitions are never rewritten, and the resumed
+    directory equals a single uninterrupted run's byte-for-byte
+    (tests/test_resume.py).  The op output is materialized here ONCE
+    (these outputs are digest-sized, a few int64s per doc — never the
+    text) so per-partition filters do not re-execute the pipeline.
+
+    Returns counters shaped like ``run``'s: {partitions_total,
+    partitions_skipped, partitions_done_now, complete}.
+    """
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = ds.materialize()
+    vals = sorted(out.unique(partition_col))
+    done = skipped = 0
+    for v in vals:
+        final = os.path.join(out_dir, f"part-{v}")
+        if os.path.exists(final):
+            skipped += 1
+            continue
+        if max_partitions is not None and done >= max_partitions:
+            break
+        tmp = os.path.join(out_dir, f".tmp-{v}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        out.map_batches(
+            lambda b, _v=v: b.filter(pc.equal(b[partition_col], _v)),
+            batch_format="pyarrow",
+        ).write_parquet(tmp)
+        os.replace(tmp, final)
+        done += 1
+    return {
+        "partitions_total": len(vals),
+        "partitions_skipped": skipped,
+        "partitions_done_now": done,
+        "complete": skipped + done == len(vals),
+    }

@@ -172,3 +172,91 @@ def test_stage_metrics_off_by_default(pages_dir, tmp_path_factory, quiet_data_co
     run(RunConfig(pages_dir, str(out), files_per_partition=4))
     lineage = read_lineage(str(out)).to_pandas()
     assert all(json.loads(r) == {} for r in lineage["stage_walls"])
+
+
+def _read_all(out_dir, sort_cols):
+    import pandas as pd
+    import pyarrow as pa
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    t = pa.concat_tables(pq.read_table(f) for f in files)
+    return (t.to_pandas().sort_values(sort_cols).reset_index(drop=True))
+
+
+def test_pack_sequences_kill_resume_equals_single_run(
+        tmp_path_factory, quiet_data_context):
+    """pack_sequences claims resumability via determinism: kill after 2 of
+    4 output partitions, rerun, combined output == a single run's."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_quality_check_ray.pipelines.runner import (
+        write_partitioned_resumable)
+    from data_quality_check_ray.stages.packing import pack_sequences
+
+    def build():
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = pack_sequences(ds, seq_len=128, num_ranges=4)
+        # deterministic output-partition key over the corpus key
+        return out.map_batches(
+            lambda b: b.append_column(
+                "out_part", pc.cast(pc.bit_wise_and(b["doc_id"], 3),
+                                    pa.int64())),
+            batch_format="pyarrow")
+
+    single = str(tmp_path_factory.mktemp("pack_single"))
+    resumed = str(tmp_path_factory.mktemp("pack_resumed"))
+    s = write_partitioned_resumable(build(), single, "out_part")
+    assert s["complete"] and s["partitions_total"] == 4
+
+    r1 = write_partitioned_resumable(build(), resumed, "out_part",
+                                     max_partitions=2)
+    assert not r1["complete"] and r1["partitions_done_now"] == 2
+    r2 = write_partitioned_resumable(build(), resumed, "out_part")
+    assert r2["complete"]
+    assert r2["partitions_skipped"] == 2 and r2["partitions_done_now"] == 2
+
+    a = _read_all(single, ["doc_id"])
+    b = _read_all(resumed, ["doc_id"])
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    # the packing itself is globally consistent: offsets are the prefix
+    # sum of token counts in doc_id order
+    assert (a["token_offset"].values
+            == a["n_tokens"].cumsum().shift(fill_value=0).values).all()
+
+
+def test_shuffle_shards_kill_resume_equals_single_run(
+        tmp_path_factory, quiet_data_context):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_check_ray.pipelines.runner import (
+        write_partitioned_resumable)
+    from data_quality_check_ray.stages.shuffle import shuffle_shards
+
+    def build():
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id"])
+        return shuffle_shards(ds, num_shards=4)
+
+    single = str(tmp_path_factory.mktemp("shuf_single"))
+    resumed = str(tmp_path_factory.mktemp("shuf_resumed"))
+    s = write_partitioned_resumable(build(), single, "shard")
+    assert s["complete"] and s["partitions_total"] == 4
+
+    r1 = write_partitioned_resumable(build(), resumed, "shard",
+                                     max_partitions=1)
+    assert not r1["complete"] and r1["partitions_done_now"] == 1
+    r2 = write_partitioned_resumable(build(), resumed, "shard")
+    assert r2["complete"]
+    assert r2["partitions_skipped"] == 1 and r2["partitions_done_now"] == 3
+
+    a = _read_all(single, ["shard", "pos"])
+    b = _read_all(resumed, ["shard", "pos"])
+    pd.testing.assert_frame_equal(a, b)
+    # every doc appears exactly once across shards
+    assert a["doc_id"].is_unique and len(a) == 500
