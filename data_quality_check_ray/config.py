@@ -69,3 +69,106 @@ class PipelineConfig:
     # without a code change (the reference's upload-a-descriptor
     # extensibility, handlers.rs:27-78, as config)
     schema_file: str | None = None
+
+
+def _in_container() -> bool:
+    """Container detection, same two probes as the reference settings
+    crate (data-quality-settings/src/lib.rs:17-34: /.dockerenv, then
+    /proc/1/cgroup mentions docker)."""
+    import os
+
+    if os.path.exists("/.dockerenv"):
+        return True
+    try:
+        with open("/proc/1/cgroup") as f:
+            return "docker" in f.read()
+    except OSError:
+        return False
+
+
+def load_env_settings(script_path: str | None = None,
+                      env=None) -> dict[str, str]:
+    """``.env``-next-to-the-entry-script loading — the engine analog of
+    the reference settings crate (data-quality-settings/src/lib.rs:37-84):
+    inside a container it is a no-op (the orchestrator injects env, the
+    docker-compose convention), otherwise ``KEY=VALUE`` lines from a
+    ``.env`` beside the entry script are loaded WITHOUT overriding
+    existing process env (dotenv from_filename semantics).  Returns the
+    mapping actually applied.  ``#`` comments and blank lines skipped;
+    surrounding single/double quotes on values stripped."""
+    import os
+    import sys
+
+    env = os.environ if env is None else env
+    if _in_container():
+        return {}
+    base = script_path or (sys.argv[0] if sys.argv and sys.argv[0] else None)
+    if not base:
+        return {}
+    path = os.path.join(os.path.dirname(os.path.abspath(base)), ".env")
+    applied: dict[str, str] = {}
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, _, v = line.partition("=")
+        k, v = k.strip(), v.strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            v = v[1:-1]
+        if k and k not in env:
+            env[k] = v
+            applied[k] = v
+    return applied
+
+
+def pipeline_config_from_env(env=None) -> PipelineConfig:
+    """PipelineConfig assembled from ``DQCR_*`` environment variables —
+    the config-surface analog of the reference binaries reading their
+    settings from the loaded env (PROTO_SCHEMA_INPUT_DIR etc.).
+
+    Recognized: ``DQCR_RULE_<FIELD>`` for every RuleConfig field (typed
+    by the dataclass), ``DQCR_EXTRACT_BATCH_SIZE``,
+    ``DQCR_MODEL_BATCH_SIZE``, ``DQCR_MODEL_CONCURRENCY`` ("min,max"),
+    ``DQCR_STAGE_METRICS`` (1/true), ``DQCR_SCHEMA_FILE``.  Unset keys
+    keep dataclass defaults; unknown DQCR_ keys raise (typo'd threshold
+    silently ignored = validation quietly misconfigured)."""
+    import dataclasses
+    import os
+
+    env = os.environ if env is None else env
+    rule_fields = {f.name: f for f in dataclasses.fields(RuleConfig)}
+    rule_kw: dict = {}
+    pipe_kw: dict = {}
+    known_pipe = {
+        "DQCR_EXTRACT_BATCH_SIZE": ("extract_batch_size", int),
+        "DQCR_MODEL_BATCH_SIZE": ("model_batch_size", int),
+        "DQCR_SCHEMA_FILE": ("schema_file", str),
+    }
+    for k, v in env.items():
+        if not k.startswith("DQCR_"):
+            continue
+        if k in known_pipe:
+            name, typ = known_pipe[k]
+            pipe_kw[name] = typ(v)
+        elif k == "DQCR_MODEL_CONCURRENCY":
+            lo, hi = (int(x) for x in v.split(","))
+            pipe_kw["model_concurrency"] = (lo, hi)
+        elif k == "DQCR_STAGE_METRICS":
+            pipe_kw["stage_metrics"] = v.strip().lower() in ("1", "true", "yes")
+        elif k.startswith("DQCR_RULE_"):
+            name = k[len("DQCR_RULE_"):].lower()
+            if name not in rule_fields:
+                raise ValueError(f"unknown rule threshold env var: {k}")
+            typ = rule_fields[name].type
+            caster = float if typ in ("float", float) else int
+            rule_kw[name] = caster(v)
+        elif k == "DQCR_NO_ORACLE_REFS":
+            continue  # bench/driver switch, not pipeline config
+        else:
+            raise ValueError(f"unknown DQCR_ env var: {k}")
+    return PipelineConfig(rules=RuleConfig(**rule_kw), **pipe_kw)

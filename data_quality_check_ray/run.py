@@ -24,8 +24,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="web-text quality-filter job")
     ap.add_argument("--input", required=True, help="dir of pages parquet files")
     ap.add_argument("--output", required=True, help="output dir (resumable)")
-    ap.add_argument("--extract-batch-size", type=int, default=1024)
-    ap.add_argument("--model-batch-size", type=int, default=2048)
+    # pipeline-shaped flags default to None so precedence is CLI > env
+    # (DQCR_* vars, optionally loaded from a .env beside the entry
+    # script — config.load_env_settings) > dataclass defaults
+    ap.add_argument("--extract-batch-size", type=int, default=None)
+    ap.add_argument("--model-batch-size", type=int, default=None)
     ap.add_argument("--concurrency", type=int, default=0,
                     help="fixed model actor-pool size (0 = autoscale)")
     ap.add_argument("--files-per-partition", type=int, default=4)
@@ -74,23 +77,34 @@ def main(argv: list[str] | None = None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from .config import PipelineConfig
+    import dataclasses
+
+    from .config import load_env_settings, pipeline_config_from_env
     from .pipelines.runner import RunConfig, run
 
+    # reference settings-crate analog: .env beside the entry script
+    # (skipped in containers), then DQCR_* env vars as config defaults
+    load_env_settings()
+    env_cfg = pipeline_config_from_env()
     conc = (
         (args.concurrency, args.concurrency)
         if args.concurrency
-        else PipelineConfig().model_concurrency
+        else env_cfg.model_concurrency
     )
     cfg = RunConfig(
         input_dir=args.input,
         output_dir=args.output,
-        pipeline=PipelineConfig(
-            extract_batch_size=args.extract_batch_size,
-            model_batch_size=args.model_batch_size,
+        pipeline=dataclasses.replace(
+            env_cfg,
+            extract_batch_size=(args.extract_batch_size
+                                if args.extract_batch_size is not None
+                                else env_cfg.extract_batch_size),
+            model_batch_size=(args.model_batch_size
+                              if args.model_batch_size is not None
+                              else env_cfg.model_batch_size),
             model_concurrency=conc,
-            schema_file=args.schema_file,
-            stage_metrics=args.stage_metrics,
+            schema_file=args.schema_file or env_cfg.schema_file,
+            stage_metrics=args.stage_metrics or env_cfg.stage_metrics,
         ),
         files_per_partition=args.files_per_partition,
         hash_groups=args.hash_groups,
