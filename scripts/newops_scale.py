@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_600_000)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--only", default=None,
+                    help="comma-separated op names; merge into existing json")
     args = ap.parse_args()
 
     import ray
@@ -55,7 +57,15 @@ def main() -> None:
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "newops_scale.json")
 
+    only = set(args.only.split(",")) if args.only else None
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        results["ops"].update(prior.get("ops", {}))
+
     def timed(name, fn):
+        if only is not None and name not in only:
+            return
         t0 = time.time()
         extra = fn()
         w = time.time() - t0
@@ -76,6 +86,18 @@ def main() -> None:
         return {"rows": int(n), "k": 13}
 
     timed("dup_span_stats_k13", run_dup_spans)
+
+    def run_dup_spans_join():
+        # FORCED membership-join regime (broadcast_limit=0): the
+        # heavily-duplicated-corpus scale path added in round 4 — shared
+        # digests stay distributed, per-doc counts via the digest-bucketed
+        # hash join instead of a driver-held array
+        out = dup_span_stats(pages_with_ids(pages_dir), k=13,
+                             broadcast_limit=0)
+        n = out.count()
+        return {"rows": int(n), "k": 13, "regime": "membership-join"}
+
+    timed("dup_span_join_k13", run_dup_spans_join)
 
     def run_dsir():
         docs = pages_with_ids(pages_dir)
