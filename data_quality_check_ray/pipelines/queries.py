@@ -27,6 +27,39 @@ def _rd():
     return rd
 
 
+def _read(path: str, columns=None):
+    """``read_parquet`` with the block count scaled to the INPUT, not
+    the CPU count.  Ray's auto parallelism floors at ~2x cluster CPUs,
+    which splits a test-scale table into hundreds-of-row blocks — and
+    every downstream union/groupby/map pays per-block task overhead
+    sized for data that is not there (measured at sf0.1 on 32 CPUs:
+    curation_pipeline 4.9 s at the default 64 blocks -> 1.9 s at 16;
+    16 is the sweep winner across the query set, keeping enough blocks
+    that CPU-bound per-doc kernels still spread).
+
+    Blocks = max(16, ceil(in-memory bytes / 8 MiB)), applied ONLY when
+    below the CPU-derived default — at 100 TB the byte term exceeds any
+    CPU floor and the override never binds, so scale parallelism is
+    untouched."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.joins import cheap_size_bytes
+
+    ds = rd.read_parquet(path, columns=columns)
+    sz = cheap_size_bytes(ds)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    if sz is not None:
+        want = max(16, -(-int(sz) // (8 << 20)))
+        if want < 2 * cpus:
+            return rd.read_parquet(path, columns=columns,
+                                   override_num_blocks=want)
+    return ds
+
+
 def _round_half_away(x: np.ndarray, k: int) -> np.ndarray:
     """DuckDB ROUND() semantics (half away from zero) — numpy round is
     half-even, which would diverge from the oracle on .5 boundaries."""
@@ -118,7 +151,7 @@ def q_doc_stats(sf_dir: str):
     """Per-language document counts + total chars (bounded keys ->
     _partial_combine: per-block Arrow partials, one tiny combine)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("lang").aggregate([([], "count_all"), ("n_chars", "sum")])
@@ -163,7 +196,7 @@ def q_token_counts(sf_dir: str):
     from ..functions.textstats import split_words
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         from ..functions.textstats import as_single_array
@@ -186,7 +219,7 @@ def q_field_check_en(sf_dir: str):
     """Field presence+equality predicate (json_validation.rs:165-194
     analog): count of documents whose lang field equals 'en'."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     n = ds.map_batches(
         lambda b: pa.table(
             {"n": [pc.sum(pc.equal(b["lang"], "en")).as_py() or 0]}
@@ -201,7 +234,7 @@ def q_dedup_exact(sf_dir: str):
     from ..stages.dedup import add_content_hash
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, "text", "fp").select(["doc_id", "fp"]),
         batch_format="pyarrow",
@@ -221,7 +254,7 @@ def q_dedup_incremental(sf_dir: str):
     from ..stages.joins import cheap_num_rows
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # digest tables are 24 B/row; the parquet footer knows the corpus rows,
     # so the anti-join's bucket count needs no materialization probe
     n = cheap_num_rows(ds)
@@ -253,7 +286,7 @@ def q_boilerplate_lines(sf_dir: str):
     from ..stages.boilerplate import remove_boilerplate_lines
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def derive(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -283,7 +316,7 @@ def q_decontaminate(sf_dir: str):
     from ..stages.decontam import eval_ngram_set, flag_contaminated
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def split(keep_eval: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -308,7 +341,7 @@ def q_dup_ngram_spans(sf_dir: str):
     from ..stages.decontam import dup_span_stats
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dup_span_stats(ds, text_col="text", id_col="doc_id", k=5)
 
 
@@ -327,7 +360,7 @@ def q_dsir_select(sf_dir: str):
 
     write_dsir_reference(sf_dir, target_mod=31)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def is_target(b: pa.Table):
         return b["doc_id"].to_numpy(zero_copy_only=False) % 31 == 0
@@ -345,7 +378,7 @@ def q_pack_sequences(sf_dir: str):
     from ..stages.packing import pack_sequences
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return pack_sequences(ds, seq_len=512, num_ranges=8)
 
 
@@ -357,7 +390,7 @@ def q_kmeans_embeddings(sf_dir: str):
     from ..stages.cluster import kmeans_assign, kmeans_fit
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     c = kmeans_fit(ds, k=8, iters=2)
     out = kmeans_assign(ds, c)
@@ -376,7 +409,7 @@ def q_semdedup(sf_dir: str):
     from ..stages.cluster import semdedup
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = semdedup(ds, k=8, iters=2, tau=0.4)
 
@@ -397,7 +430,7 @@ def q_chunk_documents(sf_dir: str):
     from ..stages.chunking import chunk_documents
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return chunk_documents(ds, chunk_tokens=12, overlap=4)
 
 
@@ -408,7 +441,7 @@ def q_shuffle_shards(sf_dir: str):
     from ..stages.shuffle import shuffle_shards
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return shuffle_shards(ds, seed=17, num_shards=8, mode="md5")
 
 
@@ -417,7 +450,7 @@ def q_fingerprint(sf_dir: str):
     from ..stages.dedup import add_fingerprint
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda b: add_fingerprint(b, "text", "fp").select(["doc_id", "fp"]),
         batch_format="pyarrow",
@@ -429,7 +462,7 @@ def q_quality_stats(sf_dir: str):
     from ..functions.textstats import text_stats
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         s = text_stats(b["text"])
@@ -450,7 +483,7 @@ def q_pii_scrub_documents(sf_dir: str):
     from ..functions.pii import scrub_batch
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         scrubbed, counts, tox = scrub_batch(b["text"])
@@ -474,7 +507,7 @@ def q_events_daily(sf_dir: str):
     """Tumbling-window (1 day) counts per event type — the groupby-window
     recast of a streaming window (no watermarks needed on bounded data)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         d = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
@@ -502,7 +535,7 @@ def q_events_sliding_3h(sf_dir: str):
     map_groups — the two-level decomposition that keeps the wide shuffle on
     the SMALL hourly aggregate, never the raw events."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
 
     def hourly(b: pa.Table) -> pa.Table:
         # keep timestamp[us] explicitly: floor_temporal stays [us] but the
@@ -549,7 +582,7 @@ def q_top_users(sf_dir: str):
     from ..stages.topk import global_topk
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
     agg = ds.groupby("user_id").aggregate(_agg_count("n_events"))
     return global_topk(
         agg, [("n_events", "descending"), ("user_id", "ascending")], 10)
@@ -559,7 +592,7 @@ def q_event_type_distinct(sf_dir: str):
     """Distinct event types (set op) with per-type first timestamp
     (bounded keys -> _partial_combine)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("event_type").aggregate([("ts", "min")])
@@ -578,7 +611,7 @@ def q_props_valid(sf_dir: str):
     (json_validation.rs:36-40 parse + :165-194 field check): count rows
     whose props parses as a JSON object containing integer field \"k\"."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["props"])
 
     def f(b: pa.Table) -> pa.Table:
         ok = 0
@@ -679,7 +712,7 @@ def q_json_conform(sf_dir: str):
     checked against a DuckDB json_type oracle that validates the SAME
     constructed documents independently."""
     rd = _rd()
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return ds.map_batches(
@@ -697,7 +730,7 @@ def q_q1_pricing(sf_dir: str):
     grouped aggregate.  Pre-aggregation happens inside Ray's hash
     aggregate; only per-key partials shuffle."""
     rd = _rd()
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -769,7 +802,7 @@ def q_segment_revenue(sf_dir: str):
     )
     seg_ref = _bcast_pairs(cust["c_custkey"], cust["c_mktsegment"])
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -799,7 +832,7 @@ def q_priority_revenue(sf_dir: str):
     from ..stages.joins import cheap_size_bytes, hash_join
 
     rd = _rd()
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -815,7 +848,7 @@ def q_priority_revenue(sf_dir: str):
         return pa.table({"l_orderkey": b["l_orderkey"], "disc_cents": _cents(disc)})
 
     li = li.map_batches(derive, batch_format="pyarrow")
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     join_bytes += cheap_size_bytes(orders) or 0
@@ -865,7 +898,7 @@ def q_asof_purchase_before_error(sf_dir: str):
     from ..stages.joins import asof_join_grouped, cheap_size_bytes
 
     rd = _rd()
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"]
     )
     # join inputs are transformed (filtered) lazy datasets whose bytes
@@ -902,7 +935,7 @@ def q_q3_shipping(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     seg_ref = _bcast_pairs(cust["c_custkey"], cust["c_mktsegment"])
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
     # footer-metadata byte estimate BEFORE the transforms (the filtered
@@ -918,7 +951,7 @@ def q_q3_shipping(sf_dir: str):
 
     building_orders = orders.map_batches(seg_filter, batch_format="pyarrow")
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -964,7 +997,7 @@ def q_supplier_stats(sf_dir: str):
     )
     ref = _bcast_pairs(nat["n_nationkey"], region_name)
 
-    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    ds = _read(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"region": _lookup(ref, b["s_nationkey"]),
@@ -988,7 +1021,7 @@ def q_part_size_median(sf_dir: str):
     """Median part retail price (cents) per size bucket — exact median via
     ts-sorted map_groups (grouped-quantile operator)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"])
+    ds = _read(f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"])
 
     def bucketize(b: pa.Table) -> pa.Table:
         bucket = pc.cast(
@@ -1033,7 +1066,7 @@ def q_ann_topk(sf_dir: str):
     queries = _as_matrix(qt["embedding"], np.float64)
     qids = np.asarray(qt["vec_id"].to_numpy(zero_copy_only=False))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = brute_force_topk(
         ds, queries, qids, k=5, exclude_ids=set(int(i) for i in qids),
         dtype=np.float64,
@@ -1062,7 +1095,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
     rd = _rd()
     ds = spread_small(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     )
 
     def shingles(b: pa.Table) -> pa.Table:
@@ -1221,7 +1254,7 @@ def q_user_sessions(sf_dir: str):
     from ..stages.joins import _bucket_of
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def tag(b: pa.Table) -> pa.Table:
         uid = b["user_id"].to_numpy(zero_copy_only=False)
@@ -1269,7 +1302,7 @@ def q_embed_dup_pairs(sf_dir: str):
     ids = np.asarray(full["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
     ref = ray.put((mat, ids))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def pairs(b: pa.Table) -> pa.Table:
         m, all_ids = ray.get(ref)
@@ -1307,7 +1340,7 @@ def q_doc_len_quantiles(sf_dir: str):
 
     write_qhist_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     est = approx_quantiles(ds, "n_chars", qs=(0.5, 0.9, 0.99))
     return pa.table({k: pa.array([v], type=pa.float64())
                      for k, v in est.items()})
@@ -1328,7 +1361,7 @@ def q_curation_pipeline(sf_dir: str):
 
     write_curation_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return build_curation_pipeline(ds)
 
@@ -1350,7 +1383,7 @@ def q_curation_full(sf_dir: str):
     write_curation_reference(sf_dir)
     write_dsir_reference(sf_dir, target_mod=31)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return build_curation_full_pipeline(ds)
 
@@ -1367,7 +1400,7 @@ def q_approx_distinct_users(sf_dir: str):
 
     write_hll_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
     return pa.table({"approx_distinct_users": pa.array([est], type=pa.float64())})
 
@@ -1401,7 +1434,7 @@ def q_langid_documents(sf_dir: str):
 
     write_langid_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
 
     def f(b: pa.Table) -> pa.Table:
         preds, scores = langid_scores(b["text"])
@@ -1429,7 +1462,7 @@ def q_minhash_dedup(sf_dir: str):
 
     write_minhash_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_dedup(ds)
 
 
@@ -1443,7 +1476,7 @@ def q_simhash_dedup(sf_dir: str):
 
     write_simhash_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_dedup(ds)
 
 
@@ -1495,7 +1528,7 @@ def q_bigram_counts(sf_dir: str):
     from ..functions.textstats import tokenize
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(b: pa.Table) -> pa.Table:
         _, _, woff, (wdct, norm_dict) = tokenize(b["text"])
@@ -1538,7 +1571,7 @@ def q_normalize_nfc(sf_dir: str):
     from ..functions.normalize import nfc_normalize_column
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
         normed, changed = nfc_normalize_column(b["text"])
@@ -1556,7 +1589,7 @@ def q_sample_stratified(sf_dir: str):
     from ..functions.sampling import deterministic_sample
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return deterministic_sample(
         ds, "doc_id", strat_col="lang",
         rate_by={"en": 0.5, "de": 0.25, "fr": 0.25},
@@ -1589,7 +1622,7 @@ def q_top_docs_per_lang(sf_dir: str):
     decomposition: a global top-k per group only needs each block's local
     top-k."""
     rd = _rd()
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
     )
 
@@ -1611,7 +1644,7 @@ def q_events_in_windows(sf_dir: str):
     from ..stages.joins import interval_tag
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["ts"])
     base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
     day_us = 86_400_000_000
     i = np.arange(10, dtype=np.int64)
@@ -1642,7 +1675,7 @@ def q_url_canonical(sf_dir: str):
     from ..functions.urls import canonicalize_urls
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make(b: pa.Table) -> pa.Table:
         urls = []
@@ -1675,7 +1708,7 @@ def q_mixture_sample(sf_dir: str):
     from ..functions.sampling import mix_datasets
 
     rd = _rd()
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     docs = docs.map_batches(
         lambda b: pa.table({
             "src": pa.array(["documents"] * len(b), type=pa.string()),
@@ -1683,7 +1716,7 @@ def q_mixture_sample(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id"])
     ev = ev.map_batches(
         lambda b: pa.table({
             "src": pa.array(["events"] * len(b), type=pa.string()),
@@ -1730,7 +1763,7 @@ def q_image_stats(sf_dir: str):
     from ..functions.codecs import encode_bmp
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make(b: pa.Table) -> pa.Table:
         payloads = []
@@ -1786,7 +1819,7 @@ def q_video_frame_stats(sf_dir: str):
     from ..functions.codecs import encode_ppm_stream
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make(b: pa.Table) -> pa.Table:
         payloads = []
@@ -1843,7 +1876,7 @@ def q_audio_frame_rms(sf_dir: str):
     from ..functions.codecs import encode_wav_pcm16
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make(b: pa.Table) -> pa.Table:
         payloads = []
@@ -1870,7 +1903,7 @@ def q_tfidf_keywords(sf_dir: str):
     from ..stages.search import tfidf_topk_terms
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = tfidf_topk_terms(ds, "text", "doc_id", k=3)
 
@@ -1897,7 +1930,7 @@ def q_paragraph_dedup(sf_dir: str):
     from ..stages.boilerplate import dedup_paragraphs
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -1940,7 +1973,7 @@ def q_quality_classifier(sf_dir: str):
 
     write_quality_classifier_reference(sf_dir)
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
@@ -1967,7 +2000,7 @@ def q_bm25_topk(sf_dir: str):
     from ..stages.search import bm25_topk
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     top = bm25_topk(ds, "text", "doc_id", list(BM25_TERMS), k=10)
 
