@@ -10,55 +10,15 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-CHECKED = [
-    "doc_stats",
-    "token_counts",
-    "field_check_en",
-    "dedup_exact",
-    "dedup_incremental",
-    "boilerplate_lines",
-    "decontaminate",
-    "dup_ngram_spans",
-    "dsir_select",
-    "pack_sequences",
-    "kmeans_embeddings",
-    "semdedup",
-    "shuffle_shards",
-    "chunk_documents",
-    "bm25_topk",
-    "quality_classifier",
-    "paragraph_dedup",
-    "tfidf_keywords",
-    "fingerprint",
-    "quality_stats",
-    "pii_scrub_documents",
-    "events_daily",
-    "top_users",
-    "event_type_distinct",
-    "props_valid",
-    "q1_pricing",
-    "segment_revenue",
-    "ann_topk",
-    "user_sessions",
-    "embed_dup_pairs",
-    "ngram_jaccard_pairs",
-    "priority_revenue",
-    "asof_purchase_before_error",
-    "q3_shipping",
-    "supplier_stats",
-    "part_size_median",
-    "host_topk",
-    "host_cap",
-    "url_blocklist",
-    # differential oracles (scalar-spec reference parquet, oracle_refs.py)
-    "langid_documents",
-    "curation_pipeline",
-    "pages_pipeline",
-    "simhash_dedup",
-    "minhash_dedup",
-    "approx_distinct_users",
-    "doc_len_quantiles",
-]
+# every registered query — the list IS the registry, so a new
+# queries() entry is oracle-rehearsed here automatically
+def _all_names():
+    from data_quality_check_ray.pipelines.queries import QUERIES
+
+    return list(QUERIES)
+
+
+CHECKED = _all_names()
 
 
 @pytest.fixture(scope="module")
