@@ -27,7 +27,7 @@ def _rd():
     return rd
 
 
-def _read(path: str, columns=None):
+def _read(path: str, columns=None, min_blocks: int = 16):
     """``read_parquet`` with the block count scaled to the INPUT, not
     the CPU count.  Ray's auto parallelism floors at ~2x cluster CPUs,
     which splits a test-scale table into hundreds-of-row blocks — and
@@ -37,10 +37,14 @@ def _read(path: str, columns=None):
     16 is the sweep winner across the query set, keeping enough blocks
     that CPU-bound per-doc kernels still spread).
 
-    Blocks = max(16, ceil(in-memory bytes / 8 MiB)), applied ONLY when
-    below the CPU-derived default — at 100 TB the byte term exceeds any
-    CPU floor and the override never binds, so scale parallelism is
-    untouched."""
+    Blocks = max(min_blocks, ceil(in-memory bytes / 8 MiB)), applied
+    ONLY when below the CPU-derived default — at 100 TB the byte term
+    exceeds any CPU floor and the override never binds, so scale
+    parallelism is untouched.  ``min_blocks``: CPU-bound per-doc kernels
+    (shingle hashing) want more small-input spread than join/groupby
+    pipelines — the dup-span query measures 3.4 s at 32 blocks vs 5.5 s
+    at 16 on 32 CPUs, while curation measures 1.9 s at 16 vs 3.6 s at
+    32."""
     import ray
     import ray.data as rd
 
@@ -53,7 +57,7 @@ def _read(path: str, columns=None):
     except Exception:
         cpus = 8
     if sz is not None:
-        want = max(16, -(-int(sz) // (8 << 20)))
+        want = max(min_blocks, -(-int(sz) // (8 << 20)))
         if want < 2 * cpus:
             return rd.read_parquet(path, columns=columns,
                                    override_num_blocks=want)
@@ -341,8 +345,23 @@ def q_dup_ngram_spans(sf_dir: str):
     from ..stages.decontam import dup_span_stats
 
     rd = _rd()
-    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+               min_blocks=32)  # CPU-bound shingle kernel: see _read
     return dup_span_stats(ds, text_col="text", id_col="doc_id", k=5)
+
+
+def q_dup_span_trim(sf_dir: str):
+    """The REMOVE half of Lee et al. substring dedup (stages/decontam
+    .dup_span_trim): tokens covered by any cross-doc duplicate 5-gram
+    window are deleted and the doc re-joined; same digest-shuffle +
+    broadcast dataflow as ``dup_ngram_spans``, plus a difference-array
+    coverage mark and arrow-side text rebuild."""
+    from ..stages.decontam import dup_span_trim
+
+    rd = _rd()
+    ds = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+               min_blocks=32)  # CPU-bound shingle kernel: see _read
+    return dup_span_trim(ds, text_col="text", id_col="doc_id", k=5)
 
 
 def q_dsir_select(sf_dir: str):
@@ -2094,6 +2113,10 @@ QUERIES = {
     "event_type_distinct": q_event_type_distinct,
     "bigram_counts": q_bigram_counts,
     "mixture_sample": q_mixture_sample,
+    # dup_span_trim's dataflow is the already-window-checked
+    # dup_ngram_spans spine (same shared-gram set, same kernel); its own
+    # oracle runs in the pytest rehearsal like every entry here
+    "dup_span_trim": q_dup_span_trim,
 }
 
 def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
@@ -2132,6 +2155,44 @@ def _kmeans_cte(rounds: int, k: int = 8, dim: int = 64) -> str:
 
 
 ORACLE_SQL = {
+    # span TRIM: token i is removed iff some shared (>= 2 distinct docs)
+    # 5-gram window starting at j covers it (j <= i <= j+4); survivors
+    # re-joined in order.  Gram identity = lowercased single-space split,
+    # matching the engine kernel; null text trims to ''.
+    "dup_span_trim": """
+        WITH aw AS (SELECT doc_id,
+                           string_split(coalesce(text, ''), ' ') AS ws
+                    FROM documents),
+             toks AS (SELECT doc_id, t.i AS i, ws[t.i] AS w
+                      FROM aw, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+             grams AS (SELECT doc_id, t.i AS i,
+                              lower(ws[t.i] || ' ' || ws[t.i+1] || ' ' ||
+                                    ws[t.i+2] || ' ' || ws[t.i+3] || ' ' ||
+                                    ws[t.i+4]) AS g
+                       FROM aw, UNNEST(range(1, len(ws) - 3)) AS t(i)),
+             shared AS (SELECT g FROM grams GROUP BY g
+                        HAVING count(DISTINCT doc_id) >= 2),
+             hits AS (SELECT DISTINCT grams.doc_id, grams.i
+                      FROM grams JOIN shared USING (g)),
+             covered AS (SELECT DISTINCT toks.doc_id, toks.i
+                         FROM toks JOIN hits
+                              ON hits.doc_id = toks.doc_id
+                             AND toks.i BETWEEN hits.i AND hits.i + 4),
+             kept AS (SELECT toks.doc_id, toks.i, toks.w
+                      FROM toks LEFT JOIN covered
+                           ON covered.doc_id = toks.doc_id
+                          AND covered.i = toks.i
+                      WHERE covered.i IS NULL),
+             agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+                            count(*) AS nk
+                     FROM kept GROUP BY doc_id),
+             tot AS (SELECT doc_id, count(*) AS nt FROM toks
+                     GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(a.txt, '') AS text_trimmed,
+               CAST(t.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
     # composed curation suite: base labels + DSIR flags from the committed
     # differential references; the decontam arm (eval split doc_id%97==0,
     # 5-gram overlap) and the drop-priority merge expressed directly.

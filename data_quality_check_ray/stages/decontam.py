@@ -32,28 +32,32 @@ from ..functions.textstats import as_single_array
 EVAL_BROADCAST_BYTES = 512 << 20
 
 
-def _shingle_hash_rows(texts, k: int):
-    """-> (hash per shingle int64, owning-row id per shingle int64, n_rows).
+def _shingle_hash_full(texts, k: int):
+    """-> (h, rows, starts, words, woff): shingle digests plus the data
+    a span TRIM needs — ``starts`` = each valid window's start index
+    into the flat token stream, ``words`` = the ORIGINAL-case flat
+    tokens (pa.Array), ``woff`` = per-doc offsets into them.
 
-    Lower + single-space split (SQL string_split parity); shingle hash =
-    polynomial combine of per-UNIQUE-word 64-bit hashes (the
-    ``stages/dedup.shingle_hashes`` factoring: hashing cost scales with
-    the batch VOCABULARY, not the token stream — the earlier
-    per-occurrence string-join + object-array hash measured 27k docs/s at
-    3.2M docs; this path removes both per-shingle allocations)."""
+    Gram identity is unchanged from the original kernel (lowercased
+    single-space split, SQL string_split parity): splitting before
+    lowering is equivalent because no case mapping produces a space,
+    and the per-UNIQUE-word hash is taken over the LOWERED dictionary —
+    same strings, same digests."""
     from ..functions.segments import list_to_numpy_segments
 
     arr = as_single_array(texts)
-    arr = pc.utf8_lower(pc.fill_null(pc.cast(arr, pa.large_string()), ""))
-    words = pc.split_pattern(arr, " ")
-    wvals, woff = list_to_numpy_segments(words)
+    arr = pc.fill_null(pc.cast(arr, pa.large_string()), "")
+    words_list = pc.split_pattern(arr, " ")
+    wvals, woff = list_to_numpy_segments(words_list)
+    words = as_single_array(wvals)
     n_rows = len(woff) - 1
+    e = np.array([], dtype=np.int64)
     if len(wvals) < k:
-        e = np.array([], dtype=np.int64)
-        return e, e, n_rows
-    dct = as_single_array(wvals).dictionary_encode()
-    uniq = np.asarray(dct.dictionary.to_numpy(zero_copy_only=False),
-                      dtype=object)
+        return e, e, e, words, woff
+    dct = words.dictionary_encode()
+    uniq = np.asarray(
+        pc.utf8_lower(dct.dictionary).to_numpy(zero_copy_only=False),
+        dtype=object)
     uh = pd.util.hash_array(uniq)
     wh = uh[np.asarray(dct.indices, dtype=np.int64)]
     row_ids = row_ids_from_offsets(woff)
@@ -65,7 +69,21 @@ def _shingle_hash_rows(texts, k: int):
     valid = row_ids[: n - k + 1] == row_ids[k - 1:]
     h = (sh[valid] >> np.uint64(1)).astype(np.int64)
     rows = row_ids[: n - k + 1][valid]
-    return h, rows, n_rows
+    starts = np.flatnonzero(valid).astype(np.int64)
+    return h, rows, starts, words, woff
+
+
+def _shingle_hash_rows(texts, k: int):
+    """-> (hash per shingle int64, owning-row id per shingle int64, n_rows).
+
+    Lower + single-space split (SQL string_split parity); shingle hash =
+    polynomial combine of per-UNIQUE-word 64-bit hashes (the
+    ``stages/dedup.shingle_hashes`` factoring: hashing cost scales with
+    the batch VOCABULARY, not the token stream — the earlier
+    per-occurrence string-join + object-array hash measured 27k docs/s at
+    3.2M docs; this path removes both per-shingle allocations)."""
+    h, rows, _, _, woff = _shingle_hash_full(texts, k)
+    return h, rows, len(woff) - 1
 
 
 def eval_ngram_set(eval_ds, text_col: str = "text", k: int = 8,
@@ -320,3 +338,89 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def dup_span_trim(ds, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5, broadcast_limit: int = EVAL_BROADCAST_BYTES):
+    """The REMOVE half of the Lee et al. 2022 substring-dedup recipe
+    (``dup_span_stats`` measures; this trims): every token covered by at
+    least one cross-document duplicate k-gram window is deleted, and the
+    doc is re-joined from the survivors -> Dataset(id_col, text_trimmed,
+    n_tokens_removed).
+
+    Same dataflow as the stats operator (ONE digest shuffle to find
+    grams in >= 2 docs, shared set broadcast once; the fail-fast
+    broadcast guard raises above ``broadcast_limit`` — trim output is
+    text-sized, so run dedup first on corpora the stats operator would
+    route to its join regime).  The scan pass marks covered tokens with
+    a difference array over window starts (O(tokens), no per-window
+    loop) and rebuilds text arrow-side (filter + list join).  Null text
+    trims to '' (the split identity used everywhere here)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, rows, _ = _shingle_hash_rows(b[text_col], k)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = np.lexsort((rows, h))
+        hs, rs = h[order], rows[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        uniq, ndocs = np.unique(hs[first], return_counts=True)
+        return pa.table({"h": uniq, "n": ndocs.astype(np.int64)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    shared_parts = [
+        p["h"].to_numpy(zero_copy_only=False)
+        for p in counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    shared = (np.sort(np.concatenate(shared_parts))
+              if shared_parts else np.array([], dtype=np.int64))
+    if shared.nbytes > broadcast_limit:
+        raise ValueError(
+            f"shared n-gram set is {shared.nbytes >> 20} MiB (> "
+            f"{broadcast_limit >> 20} MiB): exact/minhash-dedup the "
+            "corpus before span-trimming it"
+        )
+    ref = ray.put(shared)
+
+    def trim(b: pa.Table) -> pa.Table:
+        sh = ray.get(ref)
+        h, rows, starts, words, woff = _shingle_hash_full(b[text_col], k)
+        n_tok = len(words)
+        n_rows = len(woff) - 1
+        covered = np.zeros(n_tok, dtype=bool)
+        if len(h) and len(sh):
+            pos = np.searchsorted(sh, h)
+            pos[pos == len(sh)] = 0
+            s = starts[sh[pos] == h]
+            if len(s):
+                diff = np.zeros(n_tok + 1, dtype=np.int64)
+                np.add.at(diff, s, 1)
+                np.add.at(diff, s + k, -1)  # windows never span docs,
+                # so s + k <= owning doc's end <= n_tok
+                covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        tok_rows = row_ids_from_offsets(woff)
+        kept_words = words.filter(pa.array(keep))
+        kept_per_doc = np.bincount(tok_rows[keep], minlength=n_rows)
+        new_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(kept_per_doc, out=new_off[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_off), pc.cast(kept_words, pa.large_string()))
+        removed = np.bincount(tok_rows[covered], minlength=n_rows)
+        return pa.table({
+            id_col: b[id_col],
+            "text_trimmed": pc.binary_join(
+                lists, pa.scalar(" ", pa.large_string())),
+            "n_tokens_removed": pa.array(removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(trim, batch_format="pyarrow")

@@ -115,3 +115,78 @@ def test_join_path_equals_broadcast_path_real_corpus(quiet_data_context):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert (a["n_dup"] > 0).any()  # corpus has real cross-doc dup spans
+
+
+def _scalar_trim_reference(rows, k=5):
+    """Row-at-a-time trim: token removed iff covered by a shared window."""
+    grams = {}
+    split = {r["doc_id"]: (r["text"] or "").split(" ") for r in rows}
+    for did, ws in split.items():
+        lws = [w.lower() for w in ws]
+        for i in range(len(ws) - k + 1):
+            grams.setdefault(" ".join(lws[i:i + k]), set()).add(did)
+    out = {}
+    for did, ws in split.items():
+        lws = [w.lower() for w in ws]
+        cov = [False] * len(ws)
+        for i in range(len(ws) - k + 1):
+            if len(grams[" ".join(lws[i:i + k])]) >= 2:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        out[did] = (" ".join(kept), sum(cov))
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_trim_matches_scalar_reference(quiet_data_context, nblocks):
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.decontam import dup_span_trim
+
+    ds = rd.from_arrow(pa.Table.from_pylist(DOCS))
+    if nblocks > 1:
+        ds = ds.repartition(nblocks)
+    out = (dup_span_trim(ds, k=5).to_pandas()
+           .set_index("doc_id").sort_index())
+    ref = _scalar_trim_reference(DOCS)
+    for did, (txt, nrm) in ref.items():
+        assert out.loc[did, "text_trimmed"] == txt, f"doc {did}"
+        assert out.loc[did, "n_tokens_removed"] == nrm, f"doc {did}"
+    # semantic spot checks: shared run trimmed from BOTH owners,
+    # intra-doc repetition untouched, short/empty/null docs identity
+    assert out.loc[0, "text_trimmed"] == "unique tail zero"
+    assert out.loc[1, "text_trimmed"] == "lead one"
+    assert out.loc[2, "n_tokens_removed"] == 0
+    for did in (4, 5, 6):
+        assert out.loc[did, "n_tokens_removed"] == 0
+
+
+def test_trim_exact_duplicate_docs_fully_removed(quiet_data_context):
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.decontam import dup_span_trim
+
+    rows = [{"doc_id": i, "text": "one two three four five six seven"}
+            for i in range(3)]
+    out = (dup_span_trim(rd.from_arrow(pa.Table.from_pylist(rows)), k=5)
+           .to_pandas())
+    assert (out["text_trimmed"] == "").all()
+    assert (out["n_tokens_removed"] == 7).all()
+
+
+def test_trim_preserves_original_case(quiet_data_context):
+    """Gram identity is lowercased, but surviving tokens keep their
+    original case."""
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.decontam import dup_span_trim
+
+    rows = [
+        {"doc_id": 0, "text": "Alpha Beta Gamma Delta Epsilon KEEP Me"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon other tail"},
+    ]
+    out = (dup_span_trim(rd.from_arrow(pa.Table.from_pylist(rows)), k=5)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "text_trimmed"] == "KEEP Me"
+    assert out.loc[1, "text_trimmed"] == "other tail"
