@@ -89,28 +89,32 @@ def _shingle_hash_rows(texts, k: int):
 def eval_ngram_set(eval_ds, text_col: str = "text", k: int = 8,
                    broadcast_limit: int = EVAL_BROADCAST_BYTES):
     """-> sorted np.int64 array of the eval corpus's distinct n-gram
-    hashes (the broadcast side of ``flag_contaminated``)."""
+    hashes (the broadcast side of ``flag_contaminated``).
+
+    The size guard runs on a STREAMING bound BEFORE the driver collects
+    anything (per-block unique-count partials summed distributedly —
+    an upper bound on the global distinct count, since the true size
+    only shrinks under cross-block dedup): a mistakenly-huge "eval"
+    input fails fast without ever materializing on the driver."""
 
     def partial(b: pa.Table) -> pa.Table:
         h, _, _ = _shingle_hash_rows(b[text_col], k)
         return pa.table({"h": np.unique(h)})
 
-    parts = list(
-        eval_ds.map_batches(partial, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    uniq = eval_ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()  # digest-only (8 B/gram); consumed twice below
+    if uniq.count() * 8 > broadcast_limit:
+        raise ValueError(
+            f"eval n-gram set exceeds {broadcast_limit >> 20} MiB before "
+            "dedup: not an eval-benchmark-sized input — shard it or "
+            "raise the limit"
+        )
+    parts = list(uniq.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not parts:
         return np.array([], dtype=np.int64)
-    hs = np.unique(np.concatenate(
+    return np.unique(np.concatenate(
         [p["h"].to_numpy(zero_copy_only=False) for p in parts]
     ))
-    if hs.nbytes > broadcast_limit:
-        raise ValueError(
-            f"eval n-gram set is {hs.nbytes >> 20} MiB (> "
-            f"{broadcast_limit >> 20} MiB): not an eval-benchmark-sized "
-            "input — shard it or raise the limit"
-        )
-    return hs
 
 
 def flag_contaminated(ds, eval_hashes: np.ndarray, text_col: str = "text",
