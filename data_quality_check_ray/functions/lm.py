@@ -98,10 +98,12 @@ def train_tables(ds, text_col: str = "text"):
     float64[PAIR_M]) trained on a Dataset's text column.
 
     Shape: per-batch sparse partial counts over hashed slots (np.unique —
-    vectorized, no Python per token) -> ONE coalesced combine -> dense
-    tables.  The exchange carries only (slot, count) partials, bounded by
-    distinct-slots-per-block; at petabyte scale insert a tree combine
-    (groupby(slot % K) level) before the final merge.
+    vectorized, no Python per token) -> TWO-LEVEL tree combine: partials
+    coalesce into a bounded set of combiner tasks (each sparse-reduces
+    its share), then one final merge of at most that many
+    already-reduced partials — no single task or the driver ever ingests
+    one partial per block.  Integer sums are associative, so the tree is
+    bit-identical to a flat fold.
     """
     import pyarrow as pa_
 
@@ -116,20 +118,23 @@ def train_tables(ds, text_col: str = "text"):
             "c": np.concatenate([uc, pc_]).astype(np.int64),
         })
 
+    def group_sum(t: pa_.Table) -> pa_.Table:
+        g = t.group_by(["kind", "slot"]).aggregate([("c", "sum")])
+        return g.rename_columns(["kind", "slot", "c"])
+
     combined = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(64)
+        .map_batches(group_sum, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(
-            lambda t: t.group_by(["kind", "slot"]).aggregate([("c", "sum")]),
-            batch_format="pyarrow", batch_size=None,
-        )
+        .map_batches(group_sum, batch_format="pyarrow", batch_size=None)
     )
     t = pa.concat_tables(
         combined.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     kind = t["kind"].to_numpy(zero_copy_only=False)
     slot = t["slot"].to_numpy(zero_copy_only=False)
-    c = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
     uni = np.zeros(H, dtype=np.float64)
     pair = np.zeros(PAIR_M, dtype=np.float64)
     uni[slot[kind == 0]] = c[kind == 0]

@@ -30,9 +30,11 @@ Shape — ZERO shuffles end to end:
             to the scalar spec ``dsir_logw_scalar``)
 
 The raw side's counts at 100 TB are one streaming pass producing one
-512 KiB vector per block — no shuffle, no materialization; counts fold
-associatively so a tree-combine drops in if the driver fold ever
-bottlenecks (same note as functions/lm.train_tables).
+sparse partial per block; the fold is a TWO-LEVEL tree
+(``_fold_sparse_partials``): partials coalesce into a bounded set of
+combiner tasks and the driver ingests at most FOLD_WIDTH re-sparsified
+vectors — never one per block.  Integer sums are associative, so the
+tree is bit-identical to a flat fold.
 """
 
 from __future__ import annotations
@@ -54,9 +56,50 @@ from ..functions.segments import segment_sum_sequential
 ALPHA = 1.0
 
 
+#: combiner fan-in for the distributed count fold: the driver ingests at
+#: most this many re-sparsified partials regardless of corpus block count
+FOLD_WIDTH = 64
+
+
+def _fold_sparse_partials(parts_ds, value_cols: tuple[str, ...],
+                          width: int = FOLD_WIDTH) -> list[np.ndarray]:
+    """Distributed tree-combine of sparse (bucket, counts...) partials ->
+    one dense (B,) int64 vector per value column.
+
+    The naive driver fold ingests one partial PER BLOCK — at 10^12-doc
+    scale that is ~blocks x 512 KiB (hundreds of GB) through one node.
+    Here the partial tables are coalesced into ``width`` combiner tasks
+    (repartition moves each partial ONCE, spread across the cluster);
+    each combiner sums its share densely and re-sparsifies, so the
+    driver folds at most ``width`` vectors.  Integer sums are
+    associative — the result is bit-identical to the naive fold."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        idx = t["b"].to_numpy(zero_copy_only=False)
+        dense = [np.zeros(B, dtype=np.int64) for _ in value_cols]
+        for d, c in zip(dense, value_cols):
+            np.add.at(d, idx, t[c].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(np.sum(dense, axis=0) != 0) \
+            if len(value_cols) > 1 else np.flatnonzero(dense[0])
+        out = {"b": pa.array(nz.astype(np.int64))}
+        for d, c in zip(dense, value_cols):
+            out[c] = pa.array(d[nz])
+        return pa.table(out)
+
+    combined = parts_ds.repartition(width).map_batches(
+        combine, batch_size=None, batch_format="pyarrow")
+    totals = [np.zeros(B, dtype=np.int64) for _ in value_cols]
+    for p in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
+        idx = p["b"].to_numpy(zero_copy_only=False)
+        for t, c in zip(totals, value_cols):
+            np.add.at(t, idx, p[c].to_numpy(zero_copy_only=False))
+    return totals
+
+
 def hashed_feature_counts(ds, text_col: str = "text") -> np.ndarray:
     """One streaming pass -> (B,) int64 occurrence counts of the corpus's
-    hashed uni+bigram features."""
+    hashed uni+bigram features (driver ingest bounded by the
+    ``_fold_sparse_partials`` tree-combine)."""
 
     def partial(b: pa.Table) -> pa.Table:
         uni, _, big, _ = featurize_batch(b[text_col])
@@ -66,13 +109,8 @@ def hashed_feature_counts(ds, text_col: str = "text") -> np.ndarray:
         nz = np.flatnonzero(c)
         return pa.table({"b": nz.astype(np.int64), "n": c[nz]})
 
-    total = np.zeros(B, dtype=np.int64)
-    for p in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        np.add.at(total, p["b"].to_numpy(zero_copy_only=False),
-                  p["n"].to_numpy(zero_copy_only=False))
-    return total
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _fold_sparse_partials(parts, ("n",))[0]
 
 
 def hashed_feature_counts_split(ds, target_mask_fn, text_col: str = "text"):
@@ -99,14 +137,8 @@ def hashed_feature_counts_split(ds, target_mask_fn, text_col: str = "text"):
         return pa.table({"b": nz.astype(np.int64), "nr": raw[nz],
                          "nt": tgt[nz]})
 
-    t = np.zeros(B, dtype=np.int64)
-    r = np.zeros(B, dtype=np.int64)
-    for p in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        idx = p["b"].to_numpy(zero_copy_only=False)
-        np.add.at(r, idx, p["nr"].to_numpy(zero_copy_only=False))
-        np.add.at(t, idx, p["nt"].to_numpy(zero_copy_only=False))
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    t, r = _fold_sparse_partials(parts, ("nt", "nr"))
     return t, r
 
 
