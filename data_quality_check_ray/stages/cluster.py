@@ -49,8 +49,11 @@ def _argmin_assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
 def seed_centroids(ds, col: str, id_col: str, k: int) -> np.ndarray:
     """Deterministic init: embeddings of the k SMALLEST ids.
 
-    Per-block partial top-k-smallest then one tiny driver fold — no sort
-    shuffle; each block contributes at most k rows."""
+    Per-block partial top-k-smallest, a bounded combiner level (each
+    combiner re-selects its share's k smallest — top-k is idempotent on
+    its own output schema), then one driver fold of <= 64 partials.
+    With ``auto_k`` growing k with the corpus, a flat fold would ship
+    blocks x k rows through the driver; the tree caps it at 64 x k."""
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -60,6 +63,8 @@ def seed_centroids(ds, col: str, id_col: str, k: int) -> np.ndarray:
 
     parts = list(
         ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(64)
+        .map_batches(partial, batch_size=None, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     parts = [p for p in parts if len(p)]
@@ -122,18 +127,46 @@ def kmeans_fit(ds, col: str = "embedding", id_col: str = "vec_id",
                     pa.array(sums[nz].ravel()), d),
             })
 
+        def fold(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+            cn = np.zeros(k, dtype=np.int64)
+            cs = np.zeros((k, d), dtype=np.float64)
+            if len(t):
+                cl = np.asarray(t["cluster"].to_numpy(zero_copy_only=False),
+                                dtype=np.int64)
+                np.add.at(cn, cl, t["n"].to_numpy(zero_copy_only=False))
+                s = np.asarray(t["s"].combine_chunks().values.to_numpy(
+                    zero_copy_only=False), dtype=np.float64).reshape(-1, d)
+                np.add.at(cs, cl, s)
+            return cn, cs
+
+        def combine(t: pa.Table) -> pa.Table:
+            cn, cs = fold(t)
+            nz = np.flatnonzero(cn)
+            return pa.table({
+                "cluster": pa.array(nz.astype(np.int32)),
+                "n": pa.array(cn[nz]),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(cs[nz].ravel()), d),
+            })
+
+        # bounded combiner level before the driver fold: each iteration's
+        # partials are k rows x (8 + 8d) bytes PER BLOCK — with auto_k
+        # growing k with the corpus, a flat fold ships blocks x k rows
+        # through the driver; the tree caps driver ingest at 64 x k.
+        # Fixed repartition -> deterministic grouping -> deterministic
+        # sums (a different, but fixed, float summation order than the
+        # flat fold; label-level results verified against the unrolled
+        # SQL Lloyd oracle).
         tot_n = np.zeros(k, dtype=np.int64)
         tot_s = np.zeros((k, d), dtype=np.float64)
         for p in ds.map_batches(partial, batch_format="pyarrow") \
+                   .repartition(64) \
+                   .map_batches(combine, batch_size=None,
+                                batch_format="pyarrow") \
                    .iter_batches(batch_size=None, batch_format="pyarrow"):
-            if not len(p):
-                continue
-            cl = np.asarray(p["cluster"].to_numpy(zero_copy_only=False),
-                            dtype=np.int64)
-            tot_n[cl] += p["n"].to_numpy(zero_copy_only=False)
-            s = np.asarray(p["s"].combine_chunks().values.to_numpy(
-                zero_copy_only=False), dtype=np.float64).reshape(-1, d)
-            tot_s[cl] += s
+            cn, cs = fold(p)
+            tot_n += cn
+            tot_s += cs
         live = tot_n > 0
         c = c.copy()
         c[live] = tot_s[live] / tot_n[live, None]
