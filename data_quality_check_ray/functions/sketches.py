@@ -62,15 +62,28 @@ def hll_estimate(regs: np.ndarray) -> float:
 def approx_distinct(ds, col: str) -> float:
     """Dataset -> approximate distinct count of an integer column.
 
-    Per-batch partial sketches (4 KiB each) -> driver-side merge: the
-    shuffle-free replacement for ``ds.unique()`` at 10^12 rows."""
+    Per-batch partial sketches (4 KiB each) -> bounded combiner level
+    (64 tasks, each merges its share — HLL merge is an elementwise max,
+    fully associative) -> driver merge of <= 64 sketches: the
+    shuffle-free replacement for ``ds.unique()`` at 10^12 rows whose
+    driver ingest stays 256 KiB no matter how many blocks."""
     import pyarrow as pa
 
     def partial(b: pa.Table) -> pa.Table:
         keys = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"sketch": pa.array([hll_from_ints(keys).tobytes()], type=pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def combine(t: pa.Table) -> pa.Table:
+        if not len(t):  # repartition can produce empty blocks
+            return pa.table({"sketch": pa.array([], type=pa.binary())})
+        m = hll_merge([np.frombuffer(s, dtype=np.uint8)
+                       for s in t["sketch"].to_pylist()])
+        return pa.table({"sketch": pa.array([m.tobytes()], type=pa.binary())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .repartition(64)
+             .map_batches(combine, batch_size=None, batch_format="pyarrow")
+             .to_pandas())
     merged = hll_merge([np.frombuffer(s, dtype=np.uint8) for s in parts["sketch"]])
     return hll_estimate(merged)
 
@@ -147,17 +160,28 @@ def qhist_quantile(h: np.ndarray, q: float) -> float:
 
 def approx_quantiles(ds, col: str, qs: tuple = (0.5, 0.9, 0.99)) -> dict:
     """Dataset operator: distributed approximate quantiles of a
-    non-negative numeric column — one fixed-size partial per block, one
-    tiny driver-side merge (same shape as approx_distinct)."""
+    non-negative numeric column — one fixed-size partial per block, a
+    bounded combiner level (counts sum associatively), then a driver
+    merge of <= 64 histograms (same shape as approx_distinct)."""
     import pyarrow as pa
 
     def partial(b: pa.Table) -> pa.Table:
         h = qhist_from_values(b[col].to_numpy(zero_copy_only=False))
         return pa.table({"h": pa.array([h.tobytes()], type=pa.binary())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        if not len(t):  # repartition can produce empty blocks
+            return pa.table({"h": pa.array([], type=pa.binary())})
+        m = qhist_merge([np.frombuffer(r, dtype=np.int64)
+                         for r in t["h"].to_pylist()])
+        return pa.table({"h": pa.array([m.tobytes()], type=pa.binary())})
+
     parts = [
         np.frombuffer(row["h"], dtype=np.int64)
         for t in ds.map_batches(partial, batch_format="pyarrow")
+                   .repartition(64)
+                   .map_batches(combine, batch_size=None,
+                                batch_format="pyarrow")
                    .iter_batches(batch_size=None, batch_format="pyarrow")
         for row in t.to_pylist()
     ]

@@ -68,6 +68,17 @@ def _range_plan(digests, id_col: str, num_ranges: int | None):
         step = max(1, len(ids) // _SAMPLE_PER_BLOCK)
         return pa.table({"sid": pa.array(np.sort(ids)[::step].astype(np.int64))})
 
+    def resample(t: pa.Table) -> pa.Table:
+        # bounded combiner: stride-resample each combiner's share down to
+        # ~4096 ids, so the driver folds <= 64 x 4096 samples no matter
+        # how many blocks produced partials (a flat fold ships
+        # blocks x 64 ids).  Quantiles of a stride sample of sorted
+        # samples are still corpus quantiles; boundaries only steer range
+        # BALANCE — the packing offsets are exact for any boundaries.
+        ids = np.sort(t["sid"].to_numpy(zero_copy_only=False))
+        step = max(1, len(ids) // 4096)
+        return pa.table({"sid": pa.array(ids[::step].astype(np.int64))})
+
     n_docs = digests.count()
     if n_docs == 0:
         return np.array([], dtype=np.int64), 0
@@ -76,6 +87,8 @@ def _range_plan(digests, id_col: str, num_ranges: int | None):
     sampled_ids = [
         p["sid"].to_numpy(zero_copy_only=False)
         for p in digests.map_batches(sample, batch_format="pyarrow")
+        .repartition(64)
+        .map_batches(resample, batch_size=None, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
         if len(p)
     ]
@@ -132,8 +145,23 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
             return pa.table({"r": pa.array(nz.astype(np.int64)),
                              "t": pa.array(t[nz])})
 
+        def combine(t: pa.Table) -> pa.Table:
+            # bounded combiner: per-range partials sum associatively
+            # (exact int64), so the driver folds <= 64 sparse vectors
+            # instead of one per block
+            acc = np.zeros(nb, dtype=np.int64)
+            if len(t):
+                np.add.at(acc, t["r"].to_numpy(zero_copy_only=False),
+                          t["t"].to_numpy(zero_copy_only=False))
+            nz = np.flatnonzero(acc)
+            return pa.table({"r": pa.array(nz.astype(np.int64)),
+                             "t": pa.array(acc[nz])})
+
         range_tokens = np.zeros(nb, dtype=np.int64)
         for p in digests.map_batches(totals, batch_format="pyarrow") \
+                        .repartition(64) \
+                        .map_batches(combine, batch_size=None,
+                                     batch_format="pyarrow") \
                         .iter_batches(batch_size=None, batch_format="pyarrow"):
             if len(p):
                 range_tokens[p["r"].to_numpy(zero_copy_only=False)] += \
