@@ -90,21 +90,23 @@ def remove_boilerplate_lines(ds, text_col: str = "text",
     import ray
 
     counts = boilerplate_digest_counts(ds, text_col)
+    # digest-only (16 B/line) materialized handle: sized by a streaming
+    # count BEFORE anything reaches the driver, then collected
     boiler = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b["sum(n)"], min_count))
         .select(["fp_lo", "fp_hi"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if boiler.count() * 16 > broadcast_limit:
+        raise ValueError(
+            f"boilerplate removal set exceeds the "
+            f"{broadcast_limit >> 20} MiB broadcast limit: raise "
+            "min_count or the limit, or shard the corpus"
+        )
     bt = pa.concat_tables(
         [pa.schema([("fp_lo", pa.int64()), ("fp_hi", pa.int64())]).empty_table()]
         + list(boiler.iter_batches(batch_size=None, batch_format="pyarrow"))
     )
-    if bt.nbytes > broadcast_limit:
-        raise ValueError(
-            f"boilerplate removal set is {bt.nbytes >> 20} MiB "
-            f"(> {broadcast_limit >> 20} MiB broadcast limit): raise "
-            "min_count or the limit, or shard the corpus"
-        )
     lo = bt["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
     hi = bt["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((hi, lo))
@@ -250,17 +252,19 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
     the recurring-paragraph owner table fits one worker's heap."""
     import ray
 
-    owners = paragraph_owners(ds, text_col, id_col, pos_bits)
+    # digest-only (24 B/paragraph) materialized handle: sized by a
+    # streaming count BEFORE anything reaches the driver, then collected
+    owners = paragraph_owners(ds, text_col, id_col, pos_bits).materialize()
+    if owners.count() * 24 > broadcast_limit:
+        raise ValueError(
+            f"recurring-paragraph owner table exceeds the "
+            f"{broadcast_limit >> 20} MiB broadcast limit: shard the "
+            "corpus or dedup incrementally")
     ot = pa.concat_tables(
         [pa.schema([("fp_lo", pa.int64()), ("fp_hi", pa.int64()),
                     ("owner", pa.int64())]).empty_table()]
         + list(owners.iter_batches(batch_size=None, batch_format="pyarrow"))
     )
-    if ot.nbytes > broadcast_limit:
-        raise ValueError(
-            f"recurring-paragraph owner table is {ot.nbytes >> 20} MiB "
-            f"(> {broadcast_limit >> 20} MiB broadcast limit): shard the "
-            "corpus or dedup incrementally")
     lo = ot["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
     hi = ot["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
     own = ot["owner"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -246,6 +246,9 @@ def dedup_against_prior(new_ds, prior_digests, text_col: str = "text",
 
 NUM_PERM = 64
 NUM_BANDS = 16  # 16 bands x 4 rows
+#: cap on the minhash candidate-id broadcast a single builder task holds
+#: (ids are 8 B each, <= 2 per candidate pair)
+CAND_ID_LIMIT_BYTES = 2 << 30
 _MERSENNE = (1 << 61) - 1
 
 
@@ -650,23 +653,34 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
     # shuffle the FULL text corpus through repartition+sort to keep a
     # fraction of it — at 3.2M pages (11 GB of text) the run died of
     # object-store pressure; with it, the joins move only candidate rows.
-    # The candidate-id array itself broadcasts via ray.put (8 bytes/doc —
-    # 1e8 candidates = 800 MB, still broadcastable; beyond that, swap the
-    # exact set for a Bloom filter and let the join drop false positives).
-    cand_parts = [
-        t for t in uniq.iter_batches(batch_size=None, batch_format="pyarrow")
-        if len(t)
-    ]
-    cand_ids = (
-        np.unique(np.concatenate(
+    # The candidate-id array is built in a REMOTE task directly from the
+    # materialized pair blocks (the driver never ingests or holds it) and
+    # broadcast by object ref; a count guard bounds the single builder's
+    # heap.  A doc wrongly passed by this filter merely attaches unused
+    # text — the attach joins match on exact ids — so a lossy filter
+    # (Bloom) can replace the exact set beyond the guard if ever needed.
+    n_cand_pairs = uniq.count()
+    if n_cand_pairs * 16 > CAND_ID_LIMIT_BYTES:
+        raise ValueError(
+            f"{n_cand_pairs} candidate pairs exceed the "
+            f"{CAND_ID_LIMIT_BYTES >> 20} MiB candidate-id budget: "
+            "tighten the LSH band config (fewer false candidates) or "
+            "swap the exact id set for a Bloom filter here"
+        )
+
+    @ray.remote
+    def _build_cand_ids(*tables):
+        parts = [t for t in tables if len(t)]
+        if not parts:
+            return pa.array(np.empty(0, dtype=np.int64))
+        return pa.array(np.unique(np.concatenate(
             [np.concatenate([
                 t["a"].to_numpy(zero_copy_only=False),
                 t["b"].to_numpy(zero_copy_only=False),
-            ]) for t in cand_parts
-        ]))
-        if cand_parts else np.empty(0, dtype=np.int64)
-    )
-    cand_ref = ray.put(pa.array(cand_ids.astype(np.int64)))
+            ]) for t in parts]
+        )).astype(np.int64))
+
+    cand_ref = _build_cand_ids.remote(*uniq.to_arrow_refs())
 
     def keep_candidates(b: pa.Table) -> pa.Table:
         wanted = ray.get(cand_ref)
