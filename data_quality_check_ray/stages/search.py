@@ -243,17 +243,19 @@ def tfidf_topk_terms(ds, text_col: str, id_col: str, k: int = 3,
 
     if n_docs is None:
         n_docs = ds.count()  # parquet metadata when called on a fresh read
+    # digest-only (24 B/term) materialized handle: sized with a streaming
+    # count BEFORE anything reaches the driver, then collected
+    dfds = tfidf_doc_frequencies(ds, text_col).materialize()
+    if dfds.count() * 24 > broadcast_limit:
+        raise ValueError(
+            f"df table exceeds the {broadcast_limit >> 20}"
+            " MiB broadcast limit: attach df via a bucketed hash join on"
+            " the term digest instead (dedup_against_prior dual-path)")
     dft = pa.concat_tables(
         [pa.schema([("fp_lo", pa.int64()), ("fp_hi", pa.int64()),
                     ("sum(df)", pa.int64())]).empty_table()]
-        + list(tfidf_doc_frequencies(ds, text_col).iter_batches(
-            batch_size=None, batch_format="pyarrow"))
+        + list(dfds.iter_batches(batch_size=None, batch_format="pyarrow"))
     )
-    if dft.nbytes > broadcast_limit:
-        raise ValueError(
-            f"df table is {dft.nbytes >> 20} MiB (> {broadcast_limit >> 20}"
-            " MiB broadcast limit): attach df via a bucketed hash join on"
-            " the term digest instead (dedup_against_prior dual-path)")
     lo = dft["fp_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
     hi = dft["fp_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
     dfv = dft["sum(df)"].to_numpy(zero_copy_only=False).astype(np.int64)
