@@ -23,6 +23,15 @@ def _scramble(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _small_source(ds, limit: int = 4 << 30) -> bool:
+    """Metadata-only: flat driver folds are fine for test-scale inputs;
+    the bounded combiner levels exist for at-scale block counts."""
+    from ..stages.joins import cheap_size_bytes
+
+    sz = cheap_size_bytes(ds)
+    return sz is not None and sz < limit
+
+
 def hll_from_ints(keys: np.ndarray) -> np.ndarray:
     """int64/uint64 keys -> uint8[2^p] register array (one batch partial)."""
     h = _scramble(keys)
@@ -80,10 +89,11 @@ def approx_distinct(ds, col: str) -> float:
                        for s in t["sketch"].to_pylist()])
         return pa.table({"sketch": pa.array([m.tobytes()], type=pa.binary())})
 
-    parts = (ds.map_batches(partial, batch_format="pyarrow")
-             .repartition(64)
-             .map_batches(combine, batch_size=None, batch_format="pyarrow")
-             .to_pandas())
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if not _small_source(ds):
+        parts_ds = parts_ds.repartition(64).map_batches(
+            combine, batch_size=None, batch_format="pyarrow")
+    parts = parts_ds.to_pandas()
     merged = hll_merge([np.frombuffer(s, dtype=np.uint8) for s in parts["sketch"]])
     return hll_estimate(merged)
 
@@ -176,13 +186,14 @@ def approx_quantiles(ds, col: str, qs: tuple = (0.5, 0.9, 0.99)) -> dict:
                          for r in t["h"].to_pylist()])
         return pa.table({"h": pa.array([m.tobytes()], type=pa.binary())})
 
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if not _small_source(ds):
+        parts_ds = parts_ds.repartition(64).map_batches(
+            combine, batch_size=None, batch_format="pyarrow")
     parts = [
         np.frombuffer(row["h"], dtype=np.int64)
-        for t in ds.map_batches(partial, batch_format="pyarrow")
-                   .repartition(64)
-                   .map_batches(combine, batch_size=None,
-                                batch_format="pyarrow")
-                   .iter_batches(batch_size=None, batch_format="pyarrow")
+        for t in parts_ds.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")
         for row in t.to_pylist()
     ]
     merged = qhist_merge(parts) if parts else np.zeros(QH_SIZE, dtype=np.int64)

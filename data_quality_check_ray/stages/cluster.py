@@ -38,6 +38,16 @@ from .ann import _as_matrix
 SEMDEDUP_MAX_CLUSTER = 2_000_000
 
 
+def _small_source(ds, limit: int = 4 << 30) -> bool:
+    """Metadata-only: flat driver folds are fine for test-scale inputs
+    (a handful of per-block partials); the bounded combiner levels exist
+    for block counts that only occur at real scale."""
+    from .joins import cheap_size_bytes
+
+    sz = cheap_size_bytes(ds)
+    return sz is not None and sz < limit
+
+
 def _argmin_assign(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Nearest centroid per row by squared L2 (expanded form: the |x|²
     term is row-constant and drops out of the argmin).  float64 in,
@@ -61,11 +71,12 @@ def seed_centroids(ds, col: str, id_col: str, k: int) -> np.ndarray:
         return pa.table({id_col: ids[take],
                          col: b[col].combine_chunks().take(pa.array(take))})
 
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+    if not _small_source(ds):
+        parts_ds = parts_ds.repartition(64).map_batches(
+            partial, batch_size=None, batch_format="pyarrow")
     parts = list(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .repartition(64)
-        .map_batches(partial, batch_size=None, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        parts_ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
     parts = [p for p in parts if len(p)]
     if not parts:
@@ -156,13 +167,16 @@ def kmeans_fit(ds, col: str = "embedding", id_col: str = "vec_id",
         # Fixed repartition -> deterministic grouping -> deterministic
         # sums (a different, but fixed, float summation order than the
         # flat fold; label-level results verified against the unrolled
-        # SQL Lloyd oracle).
+        # SQL Lloyd oracle).  Skipped on metadata-small inputs where the
+        # flat fold is a handful of partials (the extra barrier costs
+        # ~0.5 s per ITERATION at test scale).
+        parts_ds = ds.map_batches(partial, batch_format="pyarrow")
+        if not _small_source(ds):
+            parts_ds = parts_ds.repartition(64).map_batches(
+                combine, batch_size=None, batch_format="pyarrow")
         tot_n = np.zeros(k, dtype=np.int64)
         tot_s = np.zeros((k, d), dtype=np.float64)
-        for p in ds.map_batches(partial, batch_format="pyarrow") \
-                   .repartition(64) \
-                   .map_batches(combine, batch_size=None,
-                                batch_format="pyarrow") \
+        for p in parts_ds \
                    .iter_batches(batch_size=None, batch_format="pyarrow"):
             cn, cs = fold(p)
             tot_n += cn

@@ -84,12 +84,14 @@ def _range_plan(digests, id_col: str, num_ranges: int | None):
         return np.array([], dtype=np.int64), 0
     if num_ranges == 1:  # no boundaries needed — skip the sampling pass
         return np.array([], dtype=np.int64), n_docs
+    samples_ds = digests.map_batches(sample, batch_format="pyarrow")
+    if (digests.size_bytes() or 0) >= (4 << 30):
+        samples_ds = samples_ds.repartition(64).map_batches(
+            resample, batch_size=None, batch_format="pyarrow")
     sampled_ids = [
         p["sid"].to_numpy(zero_copy_only=False)
-        for p in digests.map_batches(sample, batch_format="pyarrow")
-        .repartition(64)
-        .map_batches(resample, batch_size=None, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
+        for p in samples_ds.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
         if len(p)
     ]
     s = np.sort(np.concatenate(sampled_ids))
@@ -157,11 +159,12 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
             return pa.table({"r": pa.array(nz.astype(np.int64)),
                              "t": pa.array(acc[nz])})
 
+        totals_ds = digests.map_batches(totals, batch_format="pyarrow")
+        if (digests.size_bytes() or 0) >= (4 << 30):
+            totals_ds = totals_ds.repartition(64).map_batches(
+                combine, batch_size=None, batch_format="pyarrow")
         range_tokens = np.zeros(nb, dtype=np.int64)
-        for p in digests.map_batches(totals, batch_format="pyarrow") \
-                        .repartition(64) \
-                        .map_batches(combine, batch_size=None,
-                                     batch_format="pyarrow") \
+        for p in totals_ds \
                         .iter_batches(batch_size=None, batch_format="pyarrow"):
             if len(p):
                 range_tokens[p["r"].to_numpy(zero_copy_only=False)] += \
