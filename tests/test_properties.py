@@ -140,3 +140,46 @@ def test_qhist_merge_equals_whole_property(values, n_chunks):
     whole = qhist_from_values(x)
     parts = [qhist_from_values(c) for c in np.array_split(x, n_chunks)]
     assert np.array_equal(qhist_merge(parts), whole)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(plain_text, st.none()), min_size=1, max_size=6))
+def test_shingle_kernel_matches_per_occurrence_reference(texts):
+    """The dictionary-factored shingle kernel (decontam._shingle_hash_full)
+    must equal a direct per-occurrence implementation on arbitrary text:
+    same digests, same owning rows, same window starts, original-case
+    tokens preserved.  (Both sides lower via arrow utf8_lower so the test
+    pins the FACTORING, not the case-mapping convention.)"""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from data_quality_check_ray.stages.decontam import _shingle_hash_full
+
+    k = 3
+    h, rows, starts, words, woff = _shingle_hash_full(
+        pa.array(texts, type=pa.string()), k)
+
+    flat, exp_h, exp_rows, exp_starts = [], [], [], []
+    pos = 0
+    P = np.uint64(1099511628211)
+    for i, t in enumerate(texts):
+        ws = (t or "").split(" ")
+        lw = [pc.utf8_lower(pa.scalar(w)).as_py() for w in ws]
+        flat.extend(ws)
+        if len(ws) >= k:
+            wh = pd.util.hash_array(np.array(lw, dtype=object))
+            for j in range(len(ws) - k + 1):
+                acc = wh[j]
+                for m in range(1, k):
+                    acc = acc * P + wh[j + m]
+                exp_h.append(np.int64(acc >> np.uint64(1)))
+                exp_rows.append(i)
+                exp_starts.append(pos + j)
+        pos += len(ws)
+
+    assert words.to_pylist() == flat
+    assert list(np.diff(woff)) == [len((t or "").split(" ")) for t in texts]
+    np.testing.assert_array_equal(h, np.array(exp_h, dtype=np.int64))
+    np.testing.assert_array_equal(rows, np.array(exp_rows, dtype=np.int64))
+    np.testing.assert_array_equal(starts,
+                                  np.array(exp_starts, dtype=np.int64))
