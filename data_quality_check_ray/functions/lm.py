@@ -120,7 +120,12 @@ def train_tables(ds, text_col: str = "text"):
 
     def group_sum(t: pa_.Table) -> pa_.Table:
         g = t.group_by(["kind", "slot"]).aggregate([("c", "sum")])
-        return g.rename_columns(["kind", "slot", "c"])
+        # select by NAME before the positional rename: pyarrow's column
+        # order for group_by results (keys first vs aggregates first)
+        # varies across versions, and a silent kind/slot/c swap would
+        # corrupt the trained LM tables with no error
+        return g.select(["kind", "slot", "c_sum"]).rename_columns(
+            ["kind", "slot", "c"])
 
     combined = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -104,11 +104,19 @@ def eval_ngram_set(eval_ds, text_col: str = "text", k: int = 8,
     uniq = eval_ds.map_batches(partial, batch_format="pyarrow") \
         .materialize()  # digest-only (8 B/gram); consumed twice below
     if uniq.count() * 8 > broadcast_limit:
-        raise ValueError(
-            f"eval n-gram set exceeds {broadcast_limit >> 20} MiB before "
-            "dedup: not an eval-benchmark-sized input — shard it or "
-            "raise the limit"
-        )
+        # the streaming bound is an OVERestimate (per-block uniques can
+        # repeat across blocks), so before rejecting a near-limit input,
+        # dedup distributedly and re-check the EXACT distinct size — a
+        # legitimate eval corpus with heavy cross-block repetition must
+        # not fail a guard its true set passes.  The extra shuffle only
+        # runs on the suspect path; digests only, still no text moves.
+        uniq = uniq.groupby("h").count().select_columns(["h"]).materialize()
+        if uniq.count() * 8 > broadcast_limit:
+            raise ValueError(
+                f"eval n-gram set exceeds {broadcast_limit >> 20} MiB "
+                "after dedup: not an eval-benchmark-sized input — shard "
+                "it or raise the limit"
+            )
     parts = list(uniq.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not parts:
         return np.array([], dtype=np.int64)
@@ -146,6 +154,68 @@ def flag_contaminated(ds, eval_hashes: np.ndarray, text_col: str = "text",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _shared_gram_set_ds(ds, text_col: str, k: int):
+    """Digest-only Dataset of the k-gram hashes occurring in >= 2
+    DISTINCT documents — the shared spine of ``dup_span_stats`` and
+    ``dup_span_trim``.  One shuffle of (digest, partial-distinct-doc-
+    count) int64 pairs; the text never moves.
+
+    MATERIALIZED before returning (8 B/digest, the object store spills
+    if huge): every caller consumes it twice — a metadata-only ``count()``
+    for the broadcast-vs-join regime decision FIRST, then either the
+    driver collect or the join build side — and must never re-run the
+    text-shingling shuffle, nor collect anything it has not already
+    sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, rows, _ = _shingle_hash_rows(b[text_col], k)
+        if not len(h):
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # unique (digest, owning-doc) pairs, then docs per digest —
+        # docs never span blocks, so partials sum exactly
+        order = np.lexsort((rows, h))
+        hs, rs = h[order], rows[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        uniq, ndocs = np.unique(hs[first], return_counts=True)
+        return pa.table({"h": uniq, "n": ndocs.astype(np.int64)})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _trim_rebuild(ids, words, woff: np.ndarray, covered: np.ndarray,
+                  id_col: str) -> pa.Table:
+    """Rebuild trimmed text from a flat token stream + coverage mask —
+    the single output kernel shared by BOTH ``dup_span_trim`` regimes,
+    so broadcast and join answers are identical by construction.
+    ``ids``: pa.Array aligned to docs; ``words``: flat pa tokens;
+    ``woff``: per-doc offsets; ``covered``: bool per token."""
+    n_rows = len(woff) - 1
+    keep = ~covered
+    tok_rows = row_ids_from_offsets(woff)
+    kept_words = words.filter(pa.array(keep))
+    kept_per_doc = np.bincount(tok_rows[keep], minlength=n_rows)
+    new_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(kept_per_doc, out=new_off[1:])
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(new_off), pc.cast(kept_words, pa.large_string()))
+    removed = np.bincount(tok_rows[covered], minlength=n_rows)
+    return pa.table({
+        id_col: ids,
+        "text_trimmed": pc.binary_join(
+            lists, pa.scalar(" ", pa.large_string())),
+        "n_tokens_removed": pa.array(removed.astype(np.int64)),
+    })
 
 
 def _dup_span_join_path(ds, shared_ds, text_col: str, id_col: str, k: int):
@@ -285,32 +355,8 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
       buckets by integer key); the broadcast regime has no such
       constraint."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        h, rows, _ = _shingle_hash_rows(b[text_col], k)
-        if not len(h):
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        # unique (digest, owning-doc) pairs, then docs per digest
-        order = np.lexsort((rows, h))
-        hs, rs = h[order], rows[order]
-        first = np.empty(len(hs), dtype=bool)
-        first[0] = True
-        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
-        uniq, ndocs = np.unique(hs[first], return_counts=True)
-        return pa.table({"h": uniq, "n": ndocs.astype(np.int64)})
-
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("h").aggregate(Sum("n", alias_name="n")))
-    # materialize the digest-only shared set ONCE (8 B/digest, object
-    # store spills if huge): it is consumed twice — a metadata count for
-    # the regime decision, then either the broadcast collect or the join
-    # build side — and must not re-run the text-shingling shuffle
-    shared_ds = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
-        batch_format="pyarrow",
-    ).materialize()
+    shared_ds = _shared_gram_set_ds(ds, text_col, k)
     if shared_ds.count() * 8 > broadcast_limit:
         return _dup_span_join_path(ds, shared_ds, text_col, id_col, k)
     shared_parts = [
@@ -352,54 +398,35 @@ def dup_span_trim(ds, text_col: str = "text", id_col: str = "doc_id",
     doc is re-joined from the survivors -> Dataset(id_col, text_trimmed,
     n_tokens_removed).
 
-    Same dataflow as the stats operator (ONE digest shuffle to find
-    grams in >= 2 docs, shared set broadcast once; the fail-fast
-    broadcast guard raises above ``broadcast_limit`` — trim output is
-    text-sized, so run dedup first on corpora the stats operator would
-    route to its join regime).  The scan pass marks covered tokens with
-    a difference array over window starts (O(tokens), no per-window
-    loop) and rebuilds text arrow-side (filter + list join).  Null text
-    trims to '' (the split identity used everywhere here)."""
+    Same dataflow as the stats operator — ONE digest shuffle to find
+    grams in >= 2 docs, the shared set MATERIALIZED and size-gated by a
+    metadata-only ``count()`` BEFORE the driver collects a single byte
+    (the stats operator's regime probe).  Below ``broadcast_limit`` the
+    set broadcasts once; above it, membership routes through the
+    digest-bucketed join regime (``_dup_span_trim_join_path`` — integer
+    ``id_col`` required there, like the stats join regime).  The scan
+    pass marks covered tokens with a difference array over window
+    starts (O(tokens), no per-window loop) and rebuilds text arrow-side
+    (filter + list join).  Null text trims to '' (the split identity
+    used everywhere here)."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def partial(b: pa.Table) -> pa.Table:
-        h, rows, _ = _shingle_hash_rows(b[text_col], k)
-        if not len(h):
-            return pa.table({"h": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        order = np.lexsort((rows, h))
-        hs, rs = h[order], rows[order]
-        first = np.empty(len(hs), dtype=bool)
-        first[0] = True
-        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
-        uniq, ndocs = np.unique(hs[first], return_counts=True)
-        return pa.table({"h": uniq, "n": ndocs.astype(np.int64)})
-
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("h").aggregate(Sum("n", alias_name="n")))
+    shared_ds = _shared_gram_set_ds(ds, text_col, k)
+    if shared_ds.count() * 8 > broadcast_limit:
+        return _dup_span_trim_join_path(ds, shared_ds, text_col, id_col, k)
     shared_parts = [
         p["h"].to_numpy(zero_copy_only=False)
-        for p in counts.map_batches(
-            lambda b: b.filter(pc.greater_equal(b["n"], 2)).select(["h"]),
-            batch_format="pyarrow",
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        for p in shared_ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
     ]
     shared = (np.sort(np.concatenate(shared_parts))
               if shared_parts else np.array([], dtype=np.int64))
-    if shared.nbytes > broadcast_limit:
-        raise ValueError(
-            f"shared n-gram set is {shared.nbytes >> 20} MiB (> "
-            f"{broadcast_limit >> 20} MiB): exact/minhash-dedup the "
-            "corpus before span-trimming it"
-        )
     ref = ray.put(shared)
 
     def trim(b: pa.Table) -> pa.Table:
         sh = ray.get(ref)
         h, rows, starts, words, woff = _shingle_hash_full(b[text_col], k)
         n_tok = len(words)
-        n_rows = len(woff) - 1
         covered = np.zeros(n_tok, dtype=bool)
         if len(h) and len(sh):
             pos = np.searchsorted(sh, h)
@@ -411,20 +438,121 @@ def dup_span_trim(ds, text_col: str = "text", id_col: str = "doc_id",
                 np.add.at(diff, s + k, -1)  # windows never span docs,
                 # so s + k <= owning doc's end <= n_tok
                 covered = np.cumsum(diff[:-1]) > 0
-        keep = ~covered
-        tok_rows = row_ids_from_offsets(woff)
-        kept_words = words.filter(pa.array(keep))
-        kept_per_doc = np.bincount(tok_rows[keep], minlength=n_rows)
-        new_off = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(kept_per_doc, out=new_off[1:])
-        lists = pa.LargeListArray.from_arrays(
-            pa.array(new_off), pc.cast(kept_words, pa.large_string()))
-        removed = np.bincount(tok_rows[covered], minlength=n_rows)
-        return pa.table({
-            id_col: b[id_col],
-            "text_trimmed": pc.binary_join(
-                lists, pa.scalar(" ", pa.large_string())),
-            "n_tokens_removed": pa.array(removed.astype(np.int64)),
-        })
+        return _trim_rebuild(b[id_col], words, woff, covered, id_col)
 
     return ds.map_batches(trim, batch_format="pyarrow")
+
+
+def _dup_span_trim_join_path(ds, shared_ds, text_col: str, id_col: str,
+                             k: int):
+    """Scale regime of ``dup_span_trim``: the shared-digest set exceeds
+    the broadcast budget (corpus dominated by cross-doc duplication), so
+    duplicated-window membership routes through digest-bucketed joins.
+    Output is identical to the broadcast regime (``_trim_rebuild`` is
+    the shared output kernel; parity forced by ``test_dup_spans``).
+
+    Dataflow — the only stage that moves text is the LAST join, and trim
+    output is text-sized anyway, so one text shuffle is the floor:
+
+      occ     [map_batches]  (digest, doc_id, start) per WINDOW
+              OCCURRENCE, start doc-relative — occurrence-level because
+              every covered token position must be marked (~24 B/window,
+              the documented worst case of the stats join regime)
+      hits    [hash_join on digest]  occ SEMI-JOIN shared digests;
+              bucket_reduce projects to (doc_id, start)
+      out     [doc-bucket co-group]  text rows and their hit rows tagged
+              with the SAME integer-scrambled doc bucket, unioned
+              (schema-stable null padding), grouped once — each group
+              owns every hit of its docs by construction, so the
+              in-group difference-array coverage + ``_trim_rebuild`` is
+              globally exact.  (A plain hash_join cannot carry the
+              per-doc start lists: Acero rejects list payload columns.)
+
+    Partitioning assumptions: integer, unique ``id_col`` (both doc-keyed
+    hops bucket by an integer scramble); bucket counts sized from
+    read-metadata bytes (occ stream ~4x text bytes in the worst case)."""
+    from ..functions.segments import list_to_numpy_segments
+    from .joins import (_bucket_of, buckets_for_bytes, cheap_size_bytes,
+                        hash_join)
+
+    def occ_partial(b: pa.Table) -> pa.Table:
+        h, rows, starts, _, woff = _shingle_hash_full(b[text_col], k)
+        ids = as_single_array(b[id_col])
+        if not len(h):
+            return pa.table({
+                "h": pa.array([], pa.int64()),
+                "__doc": ids.slice(0, 0),
+                "s": pa.array([], pa.int64()),
+            })
+        rel = starts - woff[rows]
+        return pa.table({
+            "h": pa.array(h),
+            "__doc": ids.take(pa.array(rows)),
+            "s": pa.array(rel.astype(np.int64)),
+        })
+
+    text_bytes = cheap_size_bytes(ds)
+    occ_buckets = buckets_for_bytes(4 * text_bytes if text_bytes else None)
+    occ = ds.map_batches(occ_partial, batch_format="pyarrow")
+    hits = hash_join(occ, shared_ds, key="h", num_buckets=occ_buckets,
+                     bucket_reduce=lambda t: t.select(["__doc", "s"]))
+
+    # co-group buckets sized from text + worst-case hit stream (~4x)
+    doc_buckets = buckets_for_bytes(
+        5 * text_bytes if text_bytes else None)
+    sch = ds.schema()
+    _types = dict(zip(sch.names, sch.types))
+    id_type, text_type = _types[id_col], _types[text_col]
+
+    def tag_text(b: pa.Table) -> pa.Table:
+        d = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            text_col: b[text_col],
+            "s": pa.nulls(len(b), pa.int64()),
+            "__side": pa.array(np.ones(len(b), dtype=bool)),
+            "__b": pa.array(_bucket_of(d, doc_buckets)),
+        })
+
+    def tag_hits(b: pa.Table) -> pa.Table:
+        d = b["__doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: b["__doc"].combine_chunks().cast(id_type),
+            text_col: pa.nulls(len(b), text_type),
+            "s": b["s"],
+            "__side": pa.array(np.zeros(len(b), dtype=bool)),
+            "__b": pa.array(_bucket_of(d, doc_buckets)),
+        })
+
+    both = ds.map_batches(tag_text, batch_format="pyarrow").union(
+        hits.map_batches(tag_hits, batch_format="pyarrow"))
+    # coalesce before the groupby shuffle (see hash_join's rationale)
+    both = both.repartition(doc_buckets)
+
+    def trim_group(g: pa.Table) -> pa.Table:
+        is_txt = g["__side"].to_numpy(zero_copy_only=False)
+        txt = g.filter(pa.array(is_txt))
+        ids = as_single_array(txt[id_col])
+        arr = pc.fill_null(pc.cast(as_single_array(txt[text_col]),
+                                   pa.large_string()), "")
+        wvals, woff = list_to_numpy_segments(pc.split_pattern(arr, " "))
+        words = as_single_array(wvals)
+        n_tok = len(words)
+        covered = np.zeros(n_tok, dtype=bool)
+        hit = g.filter(pa.array(~is_txt))
+        if hit.num_rows and txt.num_rows:
+            idnp = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(idnp, kind="stable")
+            hd = hit[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = hit["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # every hit's doc row shares its bucket by construction
+            row = order[np.searchsorted(idnp[order], hd)]
+            s_glob = hs + woff[row]
+            diff = np.zeros(n_tok + 1, dtype=np.int64)
+            np.add.at(diff, s_glob, 1)
+            np.add.at(diff, s_glob + k, -1)  # windows never span docs
+            covered = np.cumsum(diff[:-1]) > 0
+        return _trim_rebuild(ids, words, woff, covered, id_col)
+
+    return both.groupby("__b").map_groups(trim_group,
+                                          batch_format="pyarrow")

@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.textstats import as_single_array
+from .cluster import _small_source
 
 K1 = 1.2
 B = 0.75
@@ -99,8 +100,17 @@ def corpus_stats(ds, text_col: str, terms: list[str]) -> dict:
             for name in b.column_names
         })
 
-    row = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-             .repartition(1)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    # bounded combiner level above the small-source gate: a flat
+    # repartition(1) fold ingests one 1-row partial PER BLOCK — ~10^7
+    # rows x (2+|terms|) int64 at 10^12 docs — while the tree caps the
+    # final task at 64 already-reduced partials.  Integer sums are
+    # associative, so the tree is bit-identical to the flat fold.
+    if not _small_source(ds):
+        parts = parts.repartition(64).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+    row = (parts.repartition(1)
              .map_batches(combine, batch_format="pyarrow", batch_size=None)
              .take_all())[0]
     return {

@@ -117,3 +117,19 @@ def test_packing_tree_plan_output_exact(quiet_data_context, monkeypatch):
     pd.testing.assert_frame_equal(flat, tree)
     assert (flat["token_offset"].values
             == flat["n_tokens"].cumsum().shift(fill_value=0).values).all()
+
+
+def test_corpus_stats_tree_fold_equals_flat(quiet_data_context,
+                                            monkeypatch):
+    """bm25's corpus_stats got the same 64-way combiner level as the
+    other folds (r4 verdict nit #3); the tree must be bit-identical."""
+    from data_quality_check_ray.stages import search
+
+    ds = _docs_ds()
+    terms = ["alpha", "common", "w3", "missing"]
+    flat = search.corpus_stats(ds, "text", terms)
+    monkeypatch.setattr(search, "_small_source", lambda *_a, **_k: False)
+    tree = search.corpus_stats(ds, "text", terms)
+    assert flat["n_docs"] == tree["n_docs"]
+    assert flat["sum_dl"] == tree["sum_dl"]
+    np.testing.assert_array_equal(flat["df"], tree["df"])

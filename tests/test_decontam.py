@@ -102,3 +102,22 @@ def test_shingle_hash_rows_matches_python_reference():
     assert list(rows) == [0, 0, 3]
     assert h[0] == h[2]
     assert h[0] != h[1]
+
+
+def test_broadcast_limit_exact_fallback(quiet_data_context):
+    """The streaming guard is an upper bound (sum of per-block uniques);
+    an eval corpus whose cross-block repetition pushes the bound over the
+    limit but whose TRUE distinct set fits must succeed via the exact
+    distributed-dedup re-check, not raise."""
+    import ray.data as rd
+
+    # 4 blocks of the SAME doc: bound = 4 blocks x 2 grams x 8 B = 64 B,
+    # true distinct = 2 grams = 16 B -> limit 32 B rejects the bound but
+    # admits the truth
+    rows = [{"doc_id": i, "text": "a b c d e f"} for i in range(4)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    ev = decontam.eval_ngram_set(ds, "text", k=5, broadcast_limit=32)
+    assert len(ev) == 2
+    # and a limit below even the true size still raises
+    with pytest.raises(ValueError, match="after dedup"):
+        decontam.eval_ngram_set(ds, "text", k=5, broadcast_limit=8)

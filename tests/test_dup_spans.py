@@ -190,3 +190,41 @@ def test_trim_preserves_original_case(quiet_data_context):
            .to_pandas().set_index("doc_id").sort_index())
     assert out.loc[0, "text_trimmed"] == "KEEP Me"
     assert out.loc[1, "text_trimmed"] == "other tail"
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_trim_join_path_matches_scalar_reference(quiet_data_context,
+                                                 nblocks):
+    """broadcast_limit=0 forces the doc-bucket co-group trim regime (the
+    heavily-duplicated-corpus path that used to raise); output must be
+    identical to the broadcast regime, including short/empty/null docs."""
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.decontam import dup_span_trim
+
+    ds = rd.from_arrow(pa.Table.from_pylist(DOCS))
+    if nblocks > 1:
+        ds = ds.repartition(nblocks)
+    out = (dup_span_trim(ds, k=5, broadcast_limit=0).to_pandas()
+           .set_index("doc_id").sort_index())
+    ref = _scalar_trim_reference(DOCS)
+    for did, (txt, nrm) in ref.items():
+        assert out.loc[did, "text_trimmed"] == txt, f"doc {did}"
+        assert out.loc[did, "n_tokens_removed"] == nrm, f"doc {did}"
+
+
+def test_trim_join_path_equals_broadcast_path_real_corpus(
+        quiet_data_context):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_check_ray.stages.decontam import dup_span_trim
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = (dup_span_trim(ds, k=5).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_span_trim(ds, k=5, broadcast_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (a["n_tokens_removed"] > 0).any()
