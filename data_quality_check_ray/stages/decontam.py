@@ -451,8 +451,8 @@ def _dup_span_trim_join_path(ds, shared_ds, text_col: str, id_col: str,
     Output is identical to the broadcast regime (``_trim_rebuild`` is
     the shared output kernel; parity forced by ``test_dup_spans``).
 
-    Dataflow — the only stage that moves text is the LAST join, and trim
-    output is text-sized anyway, so one text shuffle is the floor:
+    Dataflow — the only stage that moves text is the final co-group, and
+    trim output is text-sized anyway, so one text shuffle is the floor:
 
       occ     [map_batches]  (digest, doc_id, start) per WINDOW
               OCCURRENCE, start doc-relative — occurrence-level because
