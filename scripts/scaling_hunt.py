@@ -25,7 +25,6 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-OUT = os.path.join(REPO, "BENCH", "scaling_hunt_r5.json")
 HEALTHY_BPS = 4.6
 
 
@@ -37,9 +36,9 @@ def probe(secs: float = 2.0) -> float:
     return r["per_proc_batches_per_sec"] / HEALTHY_BPS
 
 
-def run_pair(pages: int, reps: int) -> dict:
+def run_pair(pages: int, reps: int, pair: str) -> dict:
     env = dict(os.environ, BENCH_PAGES=str(pages), BENCH_REPS=str(reps),
-               SCALING_PAIR="8,32")
+               SCALING_PAIR=pair)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
         env=env, capture_output=True, text=True, check=True).stdout
@@ -50,6 +49,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--attempts", type=int, default=4)
     ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--pair", default="8,32")
     ap.add_argument("--pages", type=int, default=3_200_000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--min-window", type=float, default=0.93)
@@ -57,7 +57,10 @@ def main() -> None:
     ap.add_argument("--max-waits", type=int, default=6)
     args = ap.parse_args()
 
+    OUT = os.path.join(REPO, "BENCH",
+                       f"scaling_hunt_r5_{args.pair.replace(',', 'v')}.json")
     log = {"protocol": __doc__.strip().splitlines()[0],
+           "pair": args.pair,
            "min_window_to_launch": args.min_window,
            "attempts": []}
     if os.path.exists(OUT):
@@ -81,7 +84,7 @@ def main() -> None:
             log["attempts"].append(attempt)
             json.dump(log, open(OUT, "w"), indent=1)
             continue
-        r = run_pair(args.pages, args.reps)
+        r = run_pair(args.pages, args.reps, args.pair)
         attempt["pair"] = r
         log["attempts"].append(attempt)
         json.dump(log, open(OUT, "w"), indent=1)
