@@ -106,6 +106,12 @@ def run_headline(series: list | None = None, t0: float | None = None) -> dict:
     max_reps = int(os.environ.get("BENCH_MAX_REPS", str(reps + 3)))
     if series is None:
         series, t0 = [], time.monotonic()
+    # a rep's window estimate is the MIN of its two bracketing probes
+    # (the probe before it = the previous rep's post-probe): a healthy
+    # post-probe alone can't vouch for a rep the window flipped DURING
+    # (observed: an 11.8 s rep "passing" on a 0.97 post-probe)
+    prev = (series[-1].get("window_ratio")
+            if series and "window_ratio" in series[-1] else None)
     while True:
         shutil.rmtree(out_dir, ignore_errors=True)
         t = time.time()
@@ -113,7 +119,10 @@ def run_headline(series: list | None = None, t0: float | None = None) -> dict:
         ds.write_parquet(out_dir)
         walls.append(time.time() - t)
         c = calibration(0.8)
-        ratios.append(c.get("window_ratio"))
+        cur = c.get("window_ratio")
+        brackets = [r for r in (prev, cur) if r is not None]
+        ratios.append(round(min(brackets), 3) if brackets else None)
+        prev = cur
         series.append({"t": round(time.monotonic() - t0, 1),
                        "tag": f"headline_rep{len(walls)}", **c})
         if len(walls) >= reps and (
