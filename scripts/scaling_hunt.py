@@ -69,7 +69,11 @@ def main() -> None:
         except Exception:
             pass
 
-    best = None
+    def _best() -> float | None:
+        effs = [a["pair"]["scaling_efficiency"] for a in log["attempts"]
+                if "pair" in a and a["pair"].get("scaling_efficiency")]
+        return max(effs) if effs else None
+
     for i in range(args.attempts):
         waits = []
         for _ in range(args.max_waits):
@@ -87,16 +91,15 @@ def main() -> None:
         r = run_pair(args.pages, args.reps, args.pair)
         attempt["pair"] = r
         log["attempts"].append(attempt)
+        log["best_raw"] = _best()
         json.dump(log, open(OUT, "w"), indent=1)
         eff = r.get("scaling_efficiency")
         print(f"attempt {i}: window {waits[-1]} raw {eff} "
               f"normalized {r.get('normalized_efficiency')}", flush=True)
-        if best is None or (eff or 0) > (best or 0):
-            best = eff
         if eff is not None and eff >= args.target:
             print("target met", flush=True)
             break
-    log["best_raw"] = best
+    log["best_raw"] = _best()
     json.dump(log, open(OUT, "w"), indent=1)
 
 
