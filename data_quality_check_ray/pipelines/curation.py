@@ -63,18 +63,21 @@ def build_curation_pipeline(ds, rates: dict | None = None,
     # digests + scalar signals only (~60 bytes/doc), never the text.
     prepped = ds.map_batches(prep_stage, batch_format="pyarrow").materialize()
 
-    # exact-dup representative per content digest: digest-only shuffle,
-    # then join the rep back onto the stream (right side is one row per
-    # DISTINCT document — corpus-sized at worst, never broadcast)
+    # exact-dup representative per content digest: digest-only shuffle
+    # (bucketed hash aggregate — see stages/groupagg), then join the rep
+    # back onto the stream (right side is one row per DISTINCT document —
+    # corpus-sized at worst, never broadcast)
+    from ..stages.groupagg import grouped_agg_bucketed
+
     digests = prepped.map_batches(
         lambda b: b.select(["fp_lo", "fp_hi", "doc_id"]), batch_format="pyarrow"
     )
-    reps = (
-        digests.groupby(["fp_lo", "fp_hi"]).min("doc_id")
-        .map_batches(
-            lambda t: t.rename_columns(["fp_lo", "fp_hi", "rep_lo_id"]),
-            batch_format="pyarrow",
-        )
+    reps = grouped_agg_bucketed(
+        digests, keys=["fp_lo", "fp_hi"], aggs=[("doc_id", "min")],
+        input_bytes=prepped.size_bytes(),
+    ).map_batches(
+        lambda t: t.rename_columns(["fp_lo", "fp_hi", "rep_lo_id"]),
+        batch_format="pyarrow",
     )
     # join on an XOR-folded 64-bit key (the join primitive takes one
     # integer key) but CARRY the rep's full digest halves and post-filter

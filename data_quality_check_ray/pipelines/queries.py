@@ -243,7 +243,14 @@ def q_dedup_exact(sf_dir: str):
         lambda b: add_content_hash(b, "text", "fp").select(["doc_id", "fp"]),
         batch_format="pyarrow",
     )
-    return hashed.groupby("fp").aggregate(_agg_min("doc_id", "keep_id"))
+    from ..stages.groupagg import grouped_agg_bucketed
+    from ..stages.joins import cheap_size_bytes
+
+    return grouped_agg_bucketed(
+        hashed, keys="fp", aggs=[("doc_id", "min")],
+        input_bytes=cheap_size_bytes(ds),
+    ).map_batches(lambda t: t.rename_columns(["fp", "keep_id"]),
+                  batch_format="pyarrow")
 
 
 def q_dedup_incremental(sf_dir: str):
@@ -600,9 +607,22 @@ def q_top_users(sf_dir: str):
     distributed sort; deterministic tiebreak)."""
     from ..stages.topk import global_topk
 
+    from ..stages.groupagg import grouped_agg_bucketed
+    from ..stages.joins import cheap_size_bytes
+
     rd = _rd()
     ds = _read(f"{sf_dir}/events.parquet", columns=["user_id"])
-    agg = ds.groupby("user_id").aggregate(_agg_count("n_events"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "c": g["count_all"]})
+
+    agg = grouped_agg_bucketed(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        keys="user_id", aggs=[("c", "sum")],
+        input_bytes=cheap_size_bytes(ds),
+    ).map_batches(lambda t: t.rename_columns(["user_id", "n_events"]),
+                  batch_format="pyarrow")
     return global_topk(
         agg, [("n_events", "descending"), ("user_id", "ascending")], 10)
 
@@ -1171,14 +1191,26 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     # path is MinHash-LSH prefiltering, stages/dedup.minhash_dedup); this
     # broadcast is sized to the corpora the oracle-checkable exact mode
     # actually runs on.
+    from ..stages.groupagg import grouped_agg_bucketed
+
+    def _size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "c": g["count_all"]})
+
+    sizes_ds = grouped_agg_bucketed(
+        sh_rows.map_batches(_size_partial, batch_format="pyarrow"),
+        keys="doc_id", aggs=[("c", "sum")],
+        input_bytes=sh_rows.size_bytes(),
+    )
     _size_schema = pa.schema([("doc_id", pa.int64()), ("count()", pa.int64())])
     sizes_tbl = pa.concat_tables(
         # the explicit empty seed keeps concat_tables total when the corpus
         # yields ZERO (shingle, doc) rows (every doc under 3 words):
         # iter_batches then yields no batches at all
         [_size_schema.empty_table()]
-        + [b.cast(_size_schema) for b in sh_rows.groupby("doc_id").count()
-           .iter_batches(batch_size=None, batch_format="pyarrow")]
+        + [b.rename_columns(["doc_id", "count()"]).cast(_size_schema)
+           for b in sizes_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
     )
     sizes_ref = _bcast_pairs(sizes_tbl["doc_id"], sizes_tbl["count()"])
 
@@ -1506,7 +1538,7 @@ def q_host_topk(sf_dir: str):
     from ..sources.pages import pages_from_documents
     from .reports import host_counts
 
-    return host_counts(pages_from_documents(sf_dir), top_k=5)
+    return host_counts(pages_from_documents(sf_dir, columns=["url"]), top_k=5)
 
 
 def q_host_cap(sf_dir: str):
@@ -1519,7 +1551,8 @@ def q_host_cap(sf_dir: str):
     from ..sources.pages import pages_from_documents
     from .reports import host_cap
 
-    return host_cap(pages_from_documents(sf_dir), cap=20, seed=17,
+    return host_cap(pages_from_documents(sf_dir, columns=["url"]),
+                    cap=20, seed=17,
                     mode="md5")
 
 
@@ -1534,7 +1567,8 @@ def q_url_blocklist(sf_dir: str):
 
     blocked = [f"src{i}.docs.example.org" for i in (3, 7, 15)]
     return flag_blocked_urls(
-        pages_from_documents(sf_dir), blocked, url_regex=r"/4[0-9]$")
+        pages_from_documents(sf_dir, columns=["url"]), blocked,
+        url_regex=r"/4[0-9]$")
 
 
 def q_bigram_counts(sf_dir: str):

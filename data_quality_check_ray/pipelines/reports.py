@@ -24,9 +24,8 @@ _HOST_RE = r"https?://(?P<h>[^/]+)/"
 
 def host_counts(pages_ds, top_k: int | None = None):
     """Pages/labeled Dataset -> per-host page counts (+ kept counts when a
-    ``keep`` column exists): in-block Arrow partials, ONE groupby(host)."""
-    from ray.data.aggregate import Sum
-
+    ``keep`` column exists): in-block Arrow partials, then ONE bucketed
+    hash aggregate over the partial rows (stages/groupagg)."""
     with_keep = "keep" in pages_ds.schema().names
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -42,14 +41,20 @@ def host_counts(pages_ds, top_k: int | None = None):
             out["k"] = g["kept_sum"]
         return pa.table(out)
 
+    from ..stages.groupagg import grouped_agg_bucketed
+    from ..stages.joins import cheap_size_bytes
+
     partials = pages_ds.map_batches(partial, batch_format="pyarrow")
-    if with_keep:
-        final = partials.groupby("host").aggregate(
-            Sum("c", alias_name="n_pages"), Sum("k", alias_name="n_kept")
-        )
-    else:
-        final = partials.groupby("host").aggregate(
-            Sum("c", alias_name="n_pages"))
+    tb = cheap_size_bytes(pages_ds)
+    aggs2 = [("c", "sum")] + ([("k", "sum")] if with_keep else [])
+    names = ["host", "n_pages"] + (["n_kept"] if with_keep else [])
+    final = grouped_agg_bucketed(
+        partials, keys="host", aggs=aggs2,
+        # partials are one row per (block, distinct host) — far below the
+        # page bytes; /32 keeps reduce tasks bounded yet parallel
+        input_bytes=tb // 32 if tb else None,
+    ).map_batches(lambda t: t.rename_columns(names),
+                  batch_format="pyarrow")
     if top_k:
         from ..stages.topk import global_topk
 

@@ -100,11 +100,76 @@ def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_from_documents(sf_dir: str):
-    """documents.parquet under ``sf_dir`` -> pages-shaped Dataset."""
+def pages_from_documents(sf_dir: str, columns: list[str] | None = None):
+    """documents.parquet under ``sf_dir`` -> pages-shaped Dataset.
+
+    ``columns``: optional subset of the pages schema to build.  Consumers
+    that only key on ``url`` (host counting / capping / blocklists) must
+    not pay for the html wrap — the bridge's dominant cost — NOR read the
+    text bytes off storage: the projection prunes the parquet read down
+    to the source columns the requested page columns actually derive
+    from (url <- doc_id+source, warc_ts <- doc_id, html/text <- text,
+    lang <- lang)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    if columns is None:
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"]
+        )
+        return ds.map_batches(documents_to_pages_batch, batch_format="pyarrow")
+
+    need: set[str] = set()
+    for c in columns:
+        need |= {"url": {"doc_id", "source"}, "warc_ts": {"doc_id"},
+                 "html": {"doc_id", "source", "text"}, "text": {"text"},
+                 "lang": {"lang"}}[c]
+    # the full bridge kernel needs every source column present; feed it
+    # only the pruned read plus null padding for the ones it won't use
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(need))
+
+    def bridge(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        pad = {"doc_id": pa.int64(), "text": pa.large_string(),
+               "lang": pa.string(), "source": pa.string()}
+        for col, typ in pad.items():
+            if col not in b.column_names:
+                b = b.append_column(col, pa.nulls(n, typ))
+        full = (documents_to_pages_batch(b) if "html" in columns
+                else _pages_cheap_batch(b))
+        return full.select(columns)
+
+    return ds.map_batches(bridge, batch_format="pyarrow")
+
+
+def _pages_cheap_batch(batch: pa.Table) -> pa.Table:
+    """url/warc_ts/text/lang arms of the bridge WITHOUT the html wrap —
+    byte-identical to the corresponding ``documents_to_pages_batch``
+    columns (same kernels), minus the escape/join/concat work."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    doc_id = one(batch["doc_id"])
+    sep = pa.scalar("", pa.string())
+    host = pc.binary_join_element_wise(
+        pc.cast(one(batch["source"]), pa.string()),
+        pa.scalar(".docs.example.org", pa.string()), sep,
     )
-    return ds.map_batches(documents_to_pages_batch, batch_format="pyarrow")
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://", pa.string()), host, pa.scalar("/", pa.string()),
+        pc.cast(doc_id, pa.string()), sep,
+    )
+    ts = pa.array(
+        _BASE_TS_US
+        + doc_id.to_numpy(zero_copy_only=False).astype(np.int64) * 1_000_000,
+        type=pa.timestamp("us"),
+    )
+    return pa.table({
+        "url": url,
+        "warc_ts": ts,
+        "text": pc.cast(one(batch["text"]), pa.large_string()),
+        "lang": pc.cast(one(batch["lang"]), pa.string()),
+    })

@@ -73,8 +73,17 @@ def boilerplate_digest_counts(ds, text_col: str = "text"):
         ulo, uhi, c = pair_unique(lo, hi, return_counts=True)
         return pa.table({"fp_lo": ulo, "fp_hi": uhi, "n": c})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["fp_lo", "fp_hi"]).sum("n"))
+    from .groupagg import grouped_agg_bucketed
+    from .joins import cheap_size_bytes
+
+    tb = cheap_size_bytes(ds)
+    return grouped_agg_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["fp_lo", "fp_hi"], aggs=[("n", "sum")],
+        input_bytes=tb // 2 if tb else None,  # 24 B/unique line vs text
+    ).map_batches(
+        lambda t: t.rename_columns(["fp_lo", "fp_hi", "sum(n)"]),
+        batch_format="pyarrow")
 
 
 def remove_boilerplate_lines(ds, text_col: str = "text",
@@ -191,7 +200,6 @@ def paragraph_owners(ds, text_col: str = "text", id_col: str = "doc_id",
     and the count>=2 filter means the result holds only paragraphs that
     actually recur (singletons are trivially their own first occurrence),
     which is what keeps the broadcast side boilerplate-sized."""
-    from ray.data.aggregate import Min, Sum
 
     def partial(b: pa.Table) -> pa.Table:
         flat, off, nulls = _split_lines(b[text_col])
@@ -224,15 +232,21 @@ def paragraph_owners(ds, text_col: str = "text", id_col: str = "doc_id",
                          "minpos": spos[starts],  # sorted: first = min
                          "n": counts.astype(np.int64)})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["fp_lo", "fp_hi"])
-           .aggregate(Min("minpos"), Sum("n")))
-    def fin(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.greater_equal(b["sum(n)"], 2))
-        return pa.table({"fp_lo": f["fp_lo"], "fp_hi": f["fp_hi"],
-                         "owner": f["min(minpos)"]})
+    from .groupagg import grouped_agg_bucketed
+    from .joins import cheap_size_bytes
 
-    return agg.map_batches(fin, batch_format="pyarrow")
+    def fin(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater_equal(b["n_sum"], 2))
+        return pa.table({"fp_lo": f["fp_lo"], "fp_hi": f["fp_hi"],
+                         "owner": f["minpos_min"]})
+
+    tb = cheap_size_bytes(ds)
+    return grouped_agg_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["fp_lo", "fp_hi"], aggs=[("minpos", "min"), ("n", "sum")],
+        input_bytes=tb // 2 if tb else None,
+        bucket_post=fin,  # per-key filter/projection: exact per bucket
+    )
 
 
 def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -83,25 +83,38 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     ``digest="fast"`` (default) is the vectorized 128-bit path;
     ``digest="md5"`` matches DuckDB md5 (per-row Python — oracle use only).
     """
+    from .groupagg import grouped_agg_bucketed
+    from .joins import cheap_size_bytes
+
+    # digest stream is ~24-40 B/doc — far below the text bytes; sizing
+    # buckets from text/16 keeps reduce tasks bounded yet parallel.
+    # (The bucketed hash aggregate replaced Ray's sort-groupby here:
+    # with ~one group per row the sort + per-GROUP accumulator overhead
+    # dominated — measured 29.6 s vs 1.5 s at 3.2M mostly-unique digests.)
+    tb = cheap_size_bytes(ds)
+    ib = tb // 16 if tb else None
+
     if digest == "md5":
         hashed = ds.map_batches(
             lambda b: add_content_hash(b, text_col).select([id_col, "fp"]),
             batch_format="pyarrow",
         )
-        return hashed.groupby("fp").min(id_col)
+        return grouped_agg_bucketed(
+            hashed, keys="fp", aggs=[(id_col, "min")], input_bytes=ib,
+        ).map_batches(
+            lambda t: t.rename_columns(["fp", f"min({id_col})"]),
+            batch_format="pyarrow")
 
     def h(b: pa.Table) -> pa.Table:
         lo, hi = content_hash128(b[text_col])
         return pa.table({"fp_lo": lo, "fp_hi": hi, id_col: b[id_col]})
 
-    # NOTE: do NOT coalesce blocks before this groupby.  With ~one group
-    # per row (mostly-unique digests) the reduce cost is per-GROUP
-    # accumulator overhead, which the many-partition shuffle parallelizes;
-    # coalescing to a few blocks serializes it (measured 3x SLOWER at
-    # 3.2M docs).  The low-cardinality coalesce trick (_partial_combine)
-    # applies only when groups are few.
-    return (ds.map_batches(h, batch_format="pyarrow")
-            .groupby(["fp_lo", "fp_hi"]).min(id_col))
+    return grouped_agg_bucketed(
+        ds.map_batches(h, batch_format="pyarrow"),
+        keys=["fp_lo", "fp_hi"], aggs=[(id_col, "min")], input_bytes=ib,
+    ).map_batches(
+        lambda t: t.rename_columns(["fp_lo", "fp_hi", f"min({id_col})"]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -198,12 +211,16 @@ def dedup_against_prior(new_ds, prior_digests, text_col: str = "text",
                 )
             return b.filter(pa.array(~hit))
 
+        from .groupagg import grouped_agg_bucketed
+
         survivors = new_d.map_batches(keep_new, batch_format="pyarrow")
-        return (survivors.groupby(["fp_lo", "fp_hi"]).min(id_col)
-                .map_batches(
-                    lambda b: b.rename_columns(["fp_lo", "fp_hi", id_col])
-                    .select([id_col]),
-                    batch_format="pyarrow"))
+        return grouped_agg_bucketed(
+            survivors, keys=["fp_lo", "fp_hi"], aggs=[(id_col, "min")],
+            input_bytes=input_bytes or cheap_size_bytes(new_d),
+        ).map_batches(
+            lambda b: b.rename_columns(["fp_lo", "fp_hi", id_col])
+            .select([id_col]),
+            batch_format="pyarrow")
 
     marked = prior_digests.map_batches(
         lambda b: pa.table({
@@ -643,8 +660,11 @@ def _minhash_closure_distributed(ds, pairs_ds, text_col: str, id_col: str,
 
     from .joins import buckets_for_bytes, cheap_size_bytes, hash_join
 
-    uniq = pairs_ds.groupby(["a", "b"]).count().map_batches(
-        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
+    from .groupagg import distinct_bucketed
+
+    uniq = distinct_bucketed(
+        pairs_ds, keys=["a", "b"],
+        input_bytes=cheap_size_bytes(pairs_ds),
     ).materialize()
 
     # SEMI-JOIN the text side first: only docs appearing in >=1 candidate
@@ -804,7 +824,7 @@ def connected_components_distributed(edges_ds, max_rounds: int = 24):
     RuntimeError is raised instead of silently returning split components.
     This is the ray_guide.md alternative to driver-side union-find when the
     candidate-pair set is NOT provably small."""
-    from .joins import buckets_for_bytes, hash_join
+    from .joins import buckets_for_bytes, cheap_size_bytes, hash_join
 
     def to_nodes(b: pa.Table) -> pa.Table:
         a = b["a"].to_numpy(zero_copy_only=False)
@@ -816,10 +836,14 @@ def connected_components_distributed(edges_ds, max_rounds: int = 24):
             }
         )
 
+    from .groupagg import grouped_agg_bucketed
+
     labels = (
-        edges_ds.map_batches(to_nodes, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
+        grouped_agg_bucketed(
+            edges_ds.map_batches(to_nodes, batch_format="pyarrow"),
+            keys="node", aggs=[("label", "min")],
+            input_bytes=cheap_size_bytes(edges_ds),
+        )
         .map_batches(
             lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
@@ -861,9 +885,10 @@ def connected_components_distributed(edges_ds, max_rounds: int = 24):
             batch_format="pyarrow",
         )
         labels = (
-            prop.union(labels)
-            .groupby("node")
-            .min("label")
+            grouped_agg_bucketed(
+                prop.union(labels), keys="node", aggs=[("label", "min")],
+                num_buckets=nb,
+            )
             .map_batches(
                 lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
             )
@@ -961,7 +986,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     # OOM, so stay distributed)
     from .joins import hash_join
 
-    reps = hashed.groupby("simhash").min("doc_id").map_batches(
+    from .groupagg import grouped_agg_bucketed
+
+    reps = grouped_agg_bucketed(
+        hashed, keys="simhash", aggs=[("doc_id", "min")],
+        input_bytes=hashed.size_bytes(),
+    ).map_batches(
         lambda t: t.rename_columns(["simhash", "rep_id"]), batch_format="pyarrow"
     ).materialize()
 

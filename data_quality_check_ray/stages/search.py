@@ -234,8 +234,17 @@ def tfidf_doc_frequencies(ds, text_col: str):
         return pa.table({"fp_lo": lo[used], "fp_hi": hi[used],
                          "df": per_code[used]})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["fp_lo", "fp_hi"]).sum("df"))
+    from .groupagg import grouped_agg_bucketed
+    from .joins import cheap_size_bytes
+
+    tb = cheap_size_bytes(ds)
+    return grouped_agg_bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["fp_lo", "fp_hi"], aggs=[("df", "sum")],
+        input_bytes=tb // 2 if tb else None,  # 24 B/unique term per block
+    ).map_batches(
+        lambda t: t.rename_columns(["fp_lo", "fp_hi", "sum(df)"]),
+        batch_format="pyarrow")
 
 
 def tfidf_topk_terms(ds, text_col: str, id_col: str, k: int = 3,
