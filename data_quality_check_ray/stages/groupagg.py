@@ -44,12 +44,18 @@ def _combined_key(t: pa.Table, keys: list[str]) -> np.ndarray:
     unlike Python ``hash()``)."""
     import pandas as pd
 
+    import pyarrow.compute as pc
+
     P = np.uint64(1099511628211)
     acc = None
     for k in keys:
         col = t[k]
         if pa.types.is_integer(col.type):
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            # null keys bucket with -1 (deterministic; a bucket COLLISION
+            # is harmless — the per-bucket Arrow group_by still separates
+            # null from -1 — while a NaN->uint64 cast is UB)
+            v = pc.fill_null(col, -1).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
         else:
             v = pd.util.hash_array(
                 np.asarray(col.to_numpy(zero_copy_only=False),

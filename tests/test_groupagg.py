@@ -116,3 +116,17 @@ def test_non_distributive_agg_rejected(quiet_data_context):
     with pytest.raises(ValueError, match="non-distributive"):
         grouped_agg_bucketed(rd.from_arrow(t), keys="k",
                              aggs=[("v", "mean")])
+
+
+def test_null_keys_group_separately(quiet_data_context):
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, None, -1, None, 1], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    out = (grouped_agg_bucketed(rd.from_arrow(t), keys="k",
+                                aggs=[("v", "sum")], num_buckets=4)
+           .to_pandas())
+    assert len(out) == 3
+    assert int(out.loc[out["k"].isna(), "v_sum"].iloc[0]) == 60
+    assert int(out.loc[out["k"] == 1, "v_sum"].iloc[0]) == 60
+    assert int(out.loc[out["k"] == -1, "v_sum"].iloc[0]) == 30
